@@ -1,0 +1,31 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+Multi-chip sharding logic is validated on a virtual 8-device CPU mesh
+(the TPU path is exercised by bench.py / the driver's dryrun on real
+hardware).  Must run before the first `import jax` anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+CORPUS_DIR = pathlib.Path(__file__).parent / "corpus"
+
+
+@pytest.fixture(scope="session")
+def corpus_files():
+    return sorted(CORPUS_DIR.iterdir())
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    """A few small/medium corpus files for fast roundtrip tests."""
+    names = ["progc", "obj1", "paper1", "rfc5322.txt"]
+    return [(n, (CORPUS_DIR / n).read_bytes()) for n in names]
