@@ -1,0 +1,553 @@
+"""Raw DEFLATE (RFC 1951): one-shot encode/decode + building blocks.
+
+The TPU-native counterpart of the reference's `De` module
+(lib/de.ml).  Capability parity:
+
+* ``deflate`` — one-shot compressor (role of `De.Def.Ns.deflate`,
+  de.ml:3998–4009, and the `Lz77`+`Def` streaming pair): block-parallel
+  two-pass pipeline — device LZ77 analysis per 32 KiB-history segment
+  (ops/lz77.py), host Huffman tree construction + exact 3-way
+  stored/fixed/dynamic block cost choice (semantics of
+  `block_of_frequencies` de.ml:2415–2449 and `flush_block`
+  de.ml:3620–3692), device two-pass bit packing (ops/bitpack.py).
+* ``inflate`` — host reference inflate (role of `De.Inf.Ns.inflate`,
+  de.ml:1534–1823): table-driven, byte-exact, used as the universal
+  slow path and the oracle for the device batch decoder.  Error
+  messages mirror de.mli:150–157.
+* command-queue packing parity (`De.Queue`, de.ml:2245–2252) for the
+  streaming API and property tests.
+
+Every output stream is standard DEFLATE, decodable by any RFC 1951
+inflater; matches may reference the previous segment's bytes (the
+32 KiB history prefix), so whole-stream window semantics match the
+reference's sliding window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .core import bitstream, huffman, tables
+from .core.tables import (
+    DIST_BASE,
+    DIST_EXTRA,
+    EOB,
+    LENGTH_BASE,
+    LENGTH_EXTRA,
+    MAX_MATCH,
+    MIN_MATCH,
+    NUM_DIST_SYMS,
+    NUM_LIT_SYMS,
+    PRECODE_ORDER,
+    WINDOW_SIZE,
+)
+
+io_buffer_size = 65536  # parity with de.ml:207
+
+# ---------------------------------------------------------------------------
+# Command packing (De.Queue parity, de.ml:2245–2252).
+# ---------------------------------------------------------------------------
+
+_CMD_COPY_FLAG = 0x2000000
+
+
+def cmd_literal(byte: int) -> int:
+    return byte & 0xFF
+
+
+def cmd_copy(off: int, length: int) -> int:
+    """Packed copy command: ((len-3) << 16) | (off-1) | copy flag."""
+    if not (1 <= off <= WINDOW_SIZE):
+        raise ValueError("invalid offset")
+    if not (MIN_MATCH <= length <= MAX_MATCH):
+        raise ValueError("invalid length")
+    return ((length - MIN_MATCH) << 16) | (off - 1) | _CMD_COPY_FLAG
+
+
+CMD_EOB = 256
+
+
+def cmd_is_copy(cmd: int) -> bool:
+    return bool(cmd & _CMD_COPY_FLAG)
+
+
+def cmd_unpack(cmd: int):
+    """-> ('literal', byte) | ('copy', (off, len)) | ('end', None)."""
+    if cmd & _CMD_COPY_FLAG:
+        return "copy", ((cmd & 0xFFFF) + 1, ((cmd >> 16) & 0x1FF) + MIN_MATCH)
+    if cmd == CMD_EOB:
+        return "end", None
+    return "literal", cmd & 0xFF
+
+
+# ---------------------------------------------------------------------------
+# Dynamic block header serialization (host; De.Def dynamic_of_frequencies
+# de.ml:2387–2407 + T.scan/symbols de.ml:2070–2191).
+# ---------------------------------------------------------------------------
+
+
+def _rle_code_lengths(lengths: np.ndarray):
+    """RFC 1951 §3.2.7 code-length RLE: yields (sym, extra_val, extra_bits)."""
+    out = []
+    n = lengths.size
+    i = 0
+    while i < n:
+        v = int(lengths[i])
+        j = i + 1
+        while j < n and int(lengths[j]) == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                r = min(run, 138)
+                out.append((18, r - 11, 7))
+                run -= r
+            if run >= 3:
+                out.append((17, run - 3, 3))
+                run = 0
+            for _ in range(run):
+                out.append((0, 0, 0))
+        else:
+            out.append((v, 0, 0))
+            run -= 1
+            while run >= 3:
+                r = min(run, 6)
+                out.append((16, r - 3, 2))
+                run -= r
+            for _ in range(run):
+                out.append((v, 0, 0))
+        i = j
+    return out
+
+
+@dataclasses.dataclass
+class DynamicHeader:
+    values: np.ndarray  # uint32 pairs to emit (excluding BFINAL/BTYPE)
+    nbits: np.ndarray
+    bit_length: int
+
+
+def build_dynamic_header(lit_lengths: np.ndarray, dist_lengths: np.ndarray) -> DynamicHeader:
+    """Serialize HLIT/HDIST/HCLEN + precode + RLE'd code lengths."""
+    hlit = max(257, int(np.max(np.nonzero(lit_lengths)[0])) + 1) if np.any(lit_lengths) else 257
+    nz_d = np.nonzero(dist_lengths)[0]
+    hdist = (int(nz_d[-1]) + 1) if nz_d.size else 1
+    seq = np.concatenate([lit_lengths[:hlit], dist_lengths[:hdist]])
+    rle = _rle_code_lengths(seq)
+
+    pre_freq = np.zeros(19, dtype=np.int64)
+    for sym, _, _ in rle:
+        pre_freq[sym] += 1
+    pre_lengths = huffman.code_lengths_from_frequencies(pre_freq, max_length=7)
+    pre_codes = huffman.canonical_codes(pre_lengths)
+
+    order = PRECODE_ORDER
+    hclen = 19
+    while hclen > 4 and pre_lengths[order[hclen - 1]] == 0:
+        hclen -= 1
+
+    values = [hlit - 257, hdist - 1, hclen - 4]
+    nbits = [5, 5, 4]
+    for k in range(hclen):
+        values.append(int(pre_lengths[order[k]]))
+        nbits.append(3)
+    for sym, extra_val, extra_bits in rle:
+        values.append(int(pre_codes[sym]))
+        nbits.append(int(pre_lengths[sym]))
+        if extra_bits:
+            values.append(extra_val)
+            nbits.append(extra_bits)
+    values = np.array(values, dtype=np.uint32)
+    nbits = np.array(nbits, dtype=np.int32)
+    return DynamicHeader(values, nbits, int(nbits.sum()))
+
+
+# ---------------------------------------------------------------------------
+# Block cost model (exact; reference 3-way chooser de.ml:3620–3692).
+# ---------------------------------------------------------------------------
+
+_FIXED_LIT_BITS = tables.FIXED_LIT_LENGTHS.astype(np.int64)
+_FIXED_DIST_BITS = tables.FIXED_DIST_LENGTHS.astype(np.int64)[:30]
+_LEN_EXTRA_OF_SYM = np.concatenate([np.zeros(257, np.int64), LENGTH_EXTRA.astype(np.int64)])
+_DIST_EXTRA_OF_SYM = DIST_EXTRA.astype(np.int64)
+
+
+def symbol_cost_bits(hist_lit: np.ndarray, hist_dist: np.ndarray,
+                     lit_bits: np.ndarray, dist_bits: np.ndarray) -> int:
+    """Exact bit cost of the symbol section (incl. extra bits, excl. header)."""
+    lit = int(np.sum(hist_lit * (lit_bits[: hist_lit.size].astype(np.int64) + _LEN_EXTRA_OF_SYM[: hist_lit.size])))
+    dst = int(np.sum(hist_dist * (dist_bits[: hist_dist.size].astype(np.int64) + _DIST_EXTRA_OF_SYM[: hist_dist.size])))
+    return lit + dst
+
+
+def stored_cost_bits(n: int, bitpos_in_byte: int) -> int:
+    """Stored block(s): align + 32-bit LEN/NLEN per 65535-byte chunk."""
+    nchunks = max(1, (n + 65534) // 65535)
+    align = (-(bitpos_in_byte + 3 * nchunks)) % 8  # rough: each chunk header is 3 bits + align
+    return nchunks * (3 + 32) + align + 8 * n
+
+
+# ---------------------------------------------------------------------------
+# One-shot deflate.
+# ---------------------------------------------------------------------------
+
+SEGMENT_SIZE = 1 << 17   # 128 KiB payload per device segment
+MAX_DEVICE_BATCH = 8     # segments per device call (memory bound)
+_HDR_PAD = 1024          # padded header slots per segment in the pack call
+
+
+def _np_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray) and data.dtype == np.uint8:
+        return data
+    return np.frombuffer(bytes(data), dtype=np.uint8)
+
+
+def _emit_stored(w: bitstream.BitWriter, payload: np.ndarray, final: bool) -> None:
+    n = payload.size
+    chunks = [(i, min(i + 65535, n)) for i in range(0, n, 65535)] or [(0, 0)]
+    for ci, (lo, hi) in enumerate(chunks):
+        last = final and ci == len(chunks) - 1
+        w.write(1 if last else 0, 1)
+        w.write(0, 2)
+        w.align_to_byte()
+        ln = hi - lo
+        w.write(ln, 16)
+        w.write(ln ^ 0xFFFF, 16)
+        w.write_bytes(payload[lo:hi])
+
+
+def deflate(data, level: int = 6, *, segment_size: int | None = None) -> bytes:
+    """One-shot DEFLATE compress (TPU pipeline; level 0 = stored)."""
+    arr = _np_u8(data)
+    n = arr.size
+    w = bitstream.BitWriter()
+    if n == 0:
+        # empty fixed block: cheapest legal empty stream
+        codes = huffman.canonical_codes(tables.FIXED_LIT_LENGTHS)
+        w.write(1, 1)
+        w.write(1, 2)
+        w.write(int(codes[EOB]), int(tables.FIXED_LIT_LENGTHS[EOB]))
+        return w.getvalue()
+    if level == 0:
+        _emit_stored(w, arr, final=True)
+        return w.getvalue()
+
+    from .ops import lz77 as lz77_ops  # deferred: importing jax is heavy
+
+    seg = segment_size or SEGMENT_SIZE
+    nseg = (n + seg - 1) // seg
+    for lo in range(0, nseg, MAX_DEVICE_BATCH):
+        hi = min(lo + MAX_DEVICE_BATCH, nseg)
+        _deflate_segments(w, arr, lo, hi, nseg, level, seg, lz77_ops)
+    return w.getvalue()
+
+
+def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
+    import jax.numpy as jnp
+
+    from .ops import bitpack as bitpack_ops
+
+    n = arr.size
+    b = seg_hi - seg_lo
+    # fixed batch shape: exactly one compiled variant per (level, seg)
+    b_pad = MAX_DEVICE_BATCH
+    data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
+    n_valid = np.zeros(b_pad, dtype=np.int32)
+    hist_len = np.zeros(b_pad, dtype=np.int32)
+    for i, s in enumerate(range(seg_lo, seg_hi)):
+        start = s * seg
+        stop = min(start + seg, n)
+        n_valid[i] = stop - start
+        hl = min(lz77_ops.HIST, start)
+        hist_len[i] = hl
+        data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
+        data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
+
+    res = lz77_ops.lz77_analyze(
+        jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
+        level=level, seg_len=seg,
+    )
+    hist_lit = np.asarray(res["hist_lit"])
+    hist_dist = np.asarray(res["hist_dist"])
+
+    # per-segment block decision + tree/header construction (host)
+    hdr_vals = np.zeros((b_pad, _HDR_PAD), dtype=np.uint32)
+    hdr_bits = np.zeros((b_pad, _HDR_PAD), dtype=np.int32)
+    lit_codes = np.zeros((b_pad, NUM_LIT_SYMS), dtype=np.uint32)
+    lit_bits = np.zeros((b_pad, NUM_LIT_SYMS), dtype=np.int32)
+    dist_codes = np.zeros((b_pad, NUM_DIST_SYMS), dtype=np.uint32)
+    dist_bits = np.zeros((b_pad, NUM_DIST_SYMS), dtype=np.int32)
+    eob_vals = np.zeros((b_pad, 1), dtype=np.uint32)
+    eob_bits = np.zeros((b_pad, 1), dtype=np.int32)
+    kinds = []
+    for i in range(b):
+        final = (seg_lo + i) == nseg - 1
+        hl = hist_lit[i].astype(np.int64)
+        hl[EOB] += 1
+        hd = hist_dist[i].astype(np.int64)
+
+        dyn_lit_len = huffman.code_lengths_from_frequencies(hl)
+        dyn_dist_len = huffman.code_lengths_from_frequencies(hd)
+        header = build_dynamic_header(dyn_lit_len, dyn_dist_len)
+        cost_dyn = 3 + header.bit_length + symbol_cost_bits(hl, hd, dyn_lit_len, dyn_dist_len)
+        cost_fix = 3 + symbol_cost_bits(hl, hd, _FIXED_LIT_BITS, _FIXED_DIST_BITS)
+        cost_sto = stored_cost_bits(int(n_valid[i]), 0)
+
+        if cost_sto < min(cost_dyn, cost_fix):
+            kinds.append("stored")
+            continue
+        if cost_fix <= cost_dyn:
+            kinds.append("fixed")
+            ll, dl = tables.FIXED_LIT_LENGTHS, tables.FIXED_DIST_LENGTHS[:30]
+            pairs = [(1 if final else 0, 1), (1, 2)]
+        else:
+            kinds.append("dynamic")
+            ll, dl = dyn_lit_len, dyn_dist_len
+            pairs = [(1 if final else 0, 1), (2, 2)]
+        lc = huffman.canonical_codes(ll)
+        dc = huffman.canonical_codes(dl)
+        lit_codes[i, : lc.size] = lc[:NUM_LIT_SYMS]
+        lit_bits[i, : lc.size] = ll[:NUM_LIT_SYMS]
+        dist_codes[i] = dc[:NUM_DIST_SYMS]
+        dist_bits[i] = dl[:NUM_DIST_SYMS]
+        eob_vals[i, 0] = lc[EOB]
+        eob_bits[i, 0] = ll[EOB]
+        if kinds[-1] == "dynamic":
+            pairs += list(zip(header.values.tolist(), header.nbits.tolist()))
+        for j, (v, nb) in enumerate(pairs):
+            hdr_vals[i, j] = v
+            hdr_bits[i, j] = nb
+
+    # any packed (non-stored) block beat the stored cost, so < ~9 bits/byte
+    out_words = (9 * seg) // 32 + 2 * _HDR_PAD
+    words, totals = _pack_segments(
+        res, jnp.asarray(data[:, lz77_ops.HIST :].astype(np.int32)),
+        jnp.asarray(hdr_vals), jnp.asarray(hdr_bits),
+        jnp.asarray(lit_codes), jnp.asarray(lit_bits),
+        jnp.asarray(dist_codes), jnp.asarray(dist_bits),
+        jnp.asarray(eob_vals), jnp.asarray(eob_bits),
+        out_words, bitpack_ops,
+    )
+    words = np.asarray(words)
+    totals = np.asarray(totals)
+
+    for i in range(b):
+        final = (seg_lo + i) == nseg - 1
+        start = (seg_lo + i) * seg
+        if kinds[i] == "stored":
+            payload = arr[start : start + int(n_valid[i])]
+            _emit_stored(w, payload, final=final)
+        else:
+            w.write_packed(
+                np.frombuffer(words[i].astype("<u4").tobytes(), dtype=np.uint8),
+                int(totals[i]),
+            )
+
+
+_PACK_JIT = None
+
+
+def _get_pack_jit():
+    global _PACK_JIT
+    if _PACK_JIT is not None:
+        return _PACK_JIT
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import bitpack as bitpack_ops
+
+    @functools.partial(jax.jit, static_argnames=("out_words",))
+    def pack(on_path, is_match, length, dist, sym_lit, hdr_vals, hdr_bits,
+             lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits,
+             out_words):
+        lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
+        dmap = jnp.asarray(tables.DIST_CODE_MAP)
+        lbase = jnp.asarray(LENGTH_BASE)
+        lextra = jnp.asarray(LENGTH_EXTRA)
+        dbase = jnp.asarray(DIST_BASE)
+        dextra = jnp.asarray(DIST_EXTRA)
+
+        lcode = lcode_map[jnp.clip(length - MIN_MATCH, 0, 255)]
+        sym = jnp.where(is_match, 257 + lcode, sym_lit)
+        dsym = jnp.where(
+            dist <= 256,
+            dmap[jnp.clip(dist - 1, 0, 255)],
+            dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
+        )
+
+        v0 = jnp.take_along_axis(lit_codes, sym, axis=1)
+        n0 = jnp.where(on_path, jnp.take_along_axis(lit_bits, sym, axis=1), 0)
+        v1 = (length - lbase[lcode]).astype(jnp.uint32)
+        n1 = jnp.where(is_match, lextra[lcode], 0)
+        v2 = jnp.take_along_axis(dist_codes, dsym, axis=1)
+        n2 = jnp.where(is_match, jnp.take_along_axis(dist_bits, dsym, axis=1), 0)
+        v3 = (dist - dbase[dsym]).astype(jnp.uint32)
+        n3 = jnp.where(is_match, dextra[dsym], 0)
+
+        vals = jnp.stack([v0.astype(jnp.uint32), v1, v2.astype(jnp.uint32), v3], axis=2)
+        nbs = jnp.stack([n0, n1, n2, n3], axis=2)
+        bsz = vals.shape[0]
+        vals = vals.reshape(bsz, -1)
+        nbs = nbs.reshape(bsz, -1)
+        all_vals = jnp.concatenate([hdr_vals, vals, eob_vals], axis=1)
+        all_nbs = jnp.concatenate([hdr_bits, nbs, eob_bits], axis=1)
+        return bitpack_ops.pack_bits_device(all_vals, all_nbs, out_words)
+
+    _PACK_JIT = pack
+    return pack
+
+
+def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
+                   dist_codes, dist_bits, eob_vals, eob_bits, out_words, bitpack_ops):
+    pack = _get_pack_jit()
+    return pack(
+        res["on_path"], res["is_match"], res["length"], res["dist"], sym_lit,
+        hdr_vals, hdr_bits, lit_codes, lit_bits, dist_codes, dist_bits,
+        eob_vals, eob_bits, out_words,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host reference inflate (De.Inf.Ns parity, de.ml:1534–1823).
+# ---------------------------------------------------------------------------
+
+
+class MalformedError(ValueError):
+    """Typed data error; messages mirror the reference's `err_*`
+    constructors (de.ml:702–730)."""
+
+
+def _build_tables_from_header(r: bitstream.BitReader):
+    hlit = r.read(5) + 257
+    hdist = r.read(5) + 1
+    hclen = r.read(4) + 4
+    if hlit > 286 or hdist > 30:
+        raise MalformedError("invalid dictionary")
+    pre = np.zeros(19, dtype=np.int32)
+    for k in range(hclen):
+        pre[int(PRECODE_ORDER[k])] = r.read(3)
+    try:
+        pre_dt = huffman.build_decode_table(pre, huffman.ROOT_BITS_CODES)
+    except huffman.InvalidTree as e:
+        raise MalformedError("invalid dictionary") from e
+    lengths = np.zeros(hlit + hdist, dtype=np.int32)
+    i = 0
+    while i < hlit + hdist:
+        sym, nb = huffman.decode_one(pre_dt, r.peek(15))
+        if sym < 0:
+            raise MalformedError("invalid dictionary")
+        r.consume(nb)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+        elif sym == 16:
+            if i == 0:
+                raise MalformedError("invalid dictionary")
+            rep = 3 + r.read(2)
+            lengths[i : i + rep] = lengths[i - 1]
+            i += rep
+        elif sym == 17:
+            i += 3 + r.read(3)
+        else:
+            i += 11 + r.read(7)
+    if i > hlit + hdist:
+        raise MalformedError("invalid dictionary")
+    if lengths[256] == 0:
+        raise MalformedError("invalid dictionary")
+    try:
+        lit_dt = huffman.build_decode_table(lengths[:hlit], huffman.ROOT_BITS_LENS)
+        dist_dt = huffman.build_decode_table(
+            lengths[hlit:], huffman.ROOT_BITS_DISTS, allow_incomplete=True
+        )
+    except huffman.InvalidTree as e:
+        raise MalformedError("invalid dictionary") from e
+    return lit_dt, dist_dt
+
+
+_FIXED_LIT_DT = None
+_FIXED_DIST_DT = None
+
+
+def _fixed_tables():
+    global _FIXED_LIT_DT, _FIXED_DIST_DT
+    if _FIXED_LIT_DT is None:
+        _FIXED_LIT_DT = huffman.build_decode_table(tables.FIXED_LIT_LENGTHS, huffman.ROOT_BITS_LENS)
+        _FIXED_DIST_DT = huffman.build_decode_table(tables.FIXED_DIST_LENGTHS, huffman.ROOT_BITS_DISTS)
+    return _FIXED_LIT_DT, _FIXED_DIST_DT
+
+
+def inflate(data, *, window: np.ndarray | None = None) -> bytes:
+    """One-shot raw-DEFLATE decode (host reference path).
+
+    ``window`` optionally seeds the 32 KiB back-reference history
+    (preset-dictionary support, cf. `unsafe_set_cursor` de.ml:1826).
+    Raises :class:`MalformedError` on invalid input.
+    """
+    out, _ = inflate_ex(data, window=window)
+    return out
+
+
+def inflate_ex(data, *, window: np.ndarray | None = None):
+    """Like :func:`inflate` but also returns bytes consumed."""
+    r = bitstream.BitReader(_np_u8(data))
+    out = bytearray()
+    if window is not None:
+        out.extend(bytes(window))
+    prefix = len(out)
+    try:
+        while True:
+            bfinal = r.read(1)
+            btype = r.read(2)
+            if btype == 3:
+                raise MalformedError("invalid kind of block")
+            if btype == 0:
+                r.align_to_byte()
+                ln = int.from_bytes(r.read_bytes(2).tobytes(), "little")
+                nlen = int.from_bytes(r.read_bytes(2).tobytes(), "little")
+                if ln != (nlen ^ 0xFFFF):
+                    raise MalformedError("invalid complement of length")
+                out.extend(r.read_bytes(ln).tobytes())
+            else:
+                if btype == 1:
+                    lit_dt, dist_dt = _fixed_tables()
+                else:
+                    lit_dt, dist_dt = _build_tables_from_header(r)
+                while True:
+                    sym, nb = huffman.decode_one(lit_dt, r.peek(15))
+                    if sym < 0:
+                        raise MalformedError("invalid literal/length")
+                    r.consume(nb)
+                    if sym == EOB:
+                        break
+                    if sym < 256:
+                        out.append(sym)
+                        continue
+                    if sym > 285:
+                        raise MalformedError("invalid literal/length")
+                    lcode = sym - 257
+                    length = int(LENGTH_BASE[lcode]) + r.read(int(LENGTH_EXTRA[lcode]))
+                    dsym, dnb = huffman.decode_one(dist_dt, r.peek(15))
+                    if dsym < 0 or dsym > 29:
+                        raise MalformedError("invalid distance code")
+                    r.consume(dnb)
+                    dist = int(DIST_BASE[dsym]) + r.read(int(DIST_EXTRA[dsym]))
+                    if dist > len(out):
+                        raise MalformedError("invalid distance")
+                    # copy with overlap semantics; doubling keeps this O(log)
+                    src = len(out) - dist
+                    if dist >= length:
+                        out += out[src : src + length]
+                    else:
+                        chunk = bytes(out[src:])
+                        while len(chunk) < length:
+                            chunk = chunk + chunk
+                        out += chunk[:length]
+            if bfinal:
+                break
+    except EOFError as e:
+        raise MalformedError("unexpected end of input") from e
+    return bytes(out[prefix:]), r.byte_position()

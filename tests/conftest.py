@@ -14,7 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import pathlib
 
+import jax
 import pytest
+
+# persist compiled kernels across test runs (first run pays the compile)
+_CACHE = pathlib.Path(__file__).parent.parent / ".jax_cache"
+jax.config.update("jax_compilation_cache_dir", str(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 CORPUS_DIR = pathlib.Path(__file__).parent / "corpus"
 

@@ -1,0 +1,137 @@
+"""One-shot DEFLATE encode/decode tests against the zlib oracle.
+
+Parity with the reference corpus roundtrips (test_deflate.ml:19–120)
+and oracle strategy (fuzz/fuzz.ml:82–88, 169–194: "their" zlib decodes
+"our" output and vice versa).
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from decompress_tpu import de
+
+SEG = 4096  # small segment: fast compiles in CI; production uses 128 KiB
+
+
+def _zlib_raw_inflate(comp: bytes) -> bytes:
+    d = zlib.decompressobj(-15)
+    out = d.decompress(comp)
+    assert d.eof, "stream not terminated"
+    return out
+
+
+def _roundtrip(data: bytes, level: int = 6) -> bytes:
+    comp = de.deflate(data, level, segment_size=SEG)
+    assert _zlib_raw_inflate(comp) == data
+    # our own host inflate must agree too
+    assert de.inflate(comp) == data
+    return comp
+
+
+def test_empty_and_tiny():
+    assert _zlib_raw_inflate(de.deflate(b"")) == b""
+    _roundtrip(b"a")
+    _roundtrip(b"abc")
+    _roundtrip(b"aaaaaaaaaaaaaaaaaaaaaaaaa")
+
+
+def test_stored_level0():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=200_000, dtype=np.uint8).tobytes()
+    comp = de.deflate(data, 0)
+    assert _zlib_raw_inflate(comp) == data
+    assert len(comp) < len(data) + 5 * 4 + 10
+
+
+def test_incompressible_falls_back_to_stored():
+    rng = np.random.default_rng(1)
+    data = rng.integers(0, 256, size=30_000, dtype=np.uint8).tobytes()
+    comp = _roundtrip(data, 6)
+    # one 5-byte stored header per segment
+    assert len(comp) <= len(data) + 5 * (len(data) // SEG + 2)
+
+
+def test_text_levels():
+    data = (b"the quick brown fox jumps over the lazy dog. " * 400)[:17000]
+    for level in (1, 6, 9):
+        comp = _roundtrip(data, level)
+        assert len(comp) < len(data) // 4
+
+
+def test_multi_segment_with_history():
+    """Matches must be able to reference the previous segment."""
+    rng = np.random.default_rng(2)
+    block = rng.integers(0, 256, size=3000, dtype=np.uint8).tobytes()
+    data = block * 5  # repeats crossing segment boundaries
+    comp = _roundtrip(data, 6)
+    # cross-segment matches make later copies nearly free
+    assert len(comp) < len(block) + 0.2 * len(block) * 4
+
+
+def test_runs_rle():
+    data = b"\x00" * 50_000 + b"ab" * 10_000 + b"xyz" * 5_000
+    comp = _roundtrip(data, 6)
+    assert len(comp) < 600
+
+
+def test_corpus_ratio_close_to_zlib(small_corpus):
+    for name, data in small_corpus:
+        comp = de.deflate(data, 6, segment_size=SEG)
+        assert _zlib_raw_inflate(comp) == data, name
+        z6 = len(zlib.compress(data, 6)) - 6
+        # small segments cost some ratio; production target is <= zlib
+        assert len(comp) <= z6 * 1.08, (name, len(comp), z6)
+
+
+def test_inflate_foreign_streams():
+    """Our inflate decodes arbitrary zlib-produced streams (all strategies)."""
+    rng = np.random.default_rng(3)
+    base = (b"abcabcabc" * 500) + rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+    for strategy in (zlib.Z_DEFAULT_STRATEGY, zlib.Z_FIXED, zlib.Z_RLE, zlib.Z_HUFFMAN_ONLY):
+        for level in (1, 6, 9):
+            co = zlib.compressobj(level, zlib.DEFLATED, -15, 9, strategy)
+            comp = co.compress(base) + co.flush()
+            assert de.inflate(comp) == base, (strategy, level)
+
+
+def test_inflate_stored_foreign():
+    co = zlib.compressobj(0, zlib.DEFLATED, -15)
+    data = b"stored block payload" * 100
+    comp = co.compress(data) + co.flush()
+    assert de.inflate(comp) == data
+
+
+def test_inflate_malformed():
+    with pytest.raises(de.MalformedError, match="kind of block"):
+        de.inflate(b"\x07")  # btype 3
+    with pytest.raises(de.MalformedError, match="complement"):
+        de.inflate(b"\x01\x05\x00\x05\x00")  # NLEN mismatch
+    with pytest.raises(de.MalformedError, match="end of input"):
+        de.inflate(b"\x01\x05\x00\xfa\xff\x00")  # truncated stored payload
+    with pytest.raises(de.MalformedError, match="distance"):
+        # fixed block, literal 'a', then a match with dist > output size
+        from decompress_tpu.core import bitstream, huffman, tables
+        codes = huffman.canonical_codes(tables.FIXED_LIT_LENGTHS)
+        lens = tables.FIXED_LIT_LENGTHS
+        dcodes = huffman.canonical_codes(tables.FIXED_DIST_LENGTHS)
+        w = bitstream.BitWriter()
+        w.write(1, 1); w.write(1, 2)
+        w.write(int(codes[97]), int(lens[97]))
+        w.write(int(codes[257]), int(lens[257]))  # length 3
+        w.write(int(dcodes[20]), 5)  # dist base 1025 > 1 byte of output
+        w.write(0, 9)
+        w.write(int(codes[256]), int(lens[256]))
+        de.inflate(w.getvalue())
+
+
+def test_cmd_packing_parity():
+    """De.Queue packing parity (de.ml:2245–2252)."""
+    assert de.cmd_literal(0x41) == 0x41
+    c = de.cmd_copy(1, 3)
+    assert c == 0x2000000
+    assert de.cmd_unpack(c) == ("copy", (1, 3))
+    assert de.cmd_unpack(de.cmd_copy(32768, 258)) == ("copy", (32768, 258))
+    assert de.cmd_unpack(de.CMD_EOB) == ("end", None)
+    assert de.cmd_unpack(de.cmd_literal(200)) == ("literal", 200)
