@@ -244,35 +244,16 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None) -> bytes:
     return w.getvalue()
 
 
-def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
-    import jax.numpy as jnp
+def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None):
+    """Host planning for a batch of blocks: choose stored/fixed/dynamic
+    per block (exact 3-way cost, de.ml:3620–3692 semantics), build the
+    Huffman code tables and serialized headers for the device packer.
 
-    from .ops import bitpack as bitpack_ops
-
-    n = arr.size
-    b = seg_hi - seg_lo
-    # fixed batch shape: exactly one compiled variant per (level, seg)
-    b_pad = MAX_DEVICE_BATCH
-    data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
-    n_valid = np.zeros(b_pad, dtype=np.int32)
-    hist_len = np.zeros(b_pad, dtype=np.int32)
-    for i, s in enumerate(range(seg_lo, seg_hi)):
-        start = s * seg
-        stop = min(start + seg, n)
-        n_valid[i] = stop - start
-        hl = min(lz77_ops.HIST, start)
-        hist_len[i] = hl
-        data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
-        data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
-
-    res = lz77_ops.lz77_analyze(
-        jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
-        level=level, seg_len=seg,
-    )
-    hist_lit = np.asarray(res["hist_lit"])
-    hist_dist = np.asarray(res["hist_dist"])
-
-    # per-segment block decision + tree/header construction (host)
+    Returns ((hdr_vals, hdr_bits), (lit_codes, lit_bits, dist_codes,
+    dist_bits, eob_vals, eob_bits), kinds).
+    """
+    b = hist_lit.shape[0]
+    b_pad = pad_to or b
     hdr_vals = np.zeros((b_pad, _HDR_PAD), dtype=np.uint32)
     hdr_bits = np.zeros((b_pad, _HDR_PAD), dtype=np.int32)
     lit_codes = np.zeros((b_pad, NUM_LIT_SYMS), dtype=np.uint32)
@@ -283,7 +264,7 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
     eob_bits = np.zeros((b_pad, 1), dtype=np.int32)
     kinds = []
     for i in range(b):
-        final = (seg_lo + i) == nseg - 1
+        final = bool(final_flags[i])
         hl = hist_lit[i].astype(np.int64)
         hl[EOB] += 1
         hd = hist_dist[i].astype(np.int64)
@@ -319,6 +300,44 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
         for j, (v, nb) in enumerate(pairs):
             hdr_vals[i, j] = v
             hdr_bits[i, j] = nb
+    tabs = (lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits)
+    return (hdr_vals, hdr_bits), tabs, kinds
+
+
+def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
+    import jax.numpy as jnp
+
+    n = arr.size
+    b = seg_hi - seg_lo
+    # fixed batch shape: exactly one compiled variant per (level, seg)
+    b_pad = MAX_DEVICE_BATCH
+    data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
+    n_valid = np.zeros(b_pad, dtype=np.int32)
+    hist_len = np.zeros(b_pad, dtype=np.int32)
+    for i, s in enumerate(range(seg_lo, seg_hi)):
+        start = s * seg
+        stop = min(start + seg, n)
+        n_valid[i] = stop - start
+        hl = min(lz77_ops.HIST, start)
+        hist_len[i] = hl
+        data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
+        data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
+
+    res = lz77_ops.lz77_analyze(
+        jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
+        level=level, seg_len=seg,
+    )
+    hist_lit = np.asarray(res["hist_lit"])
+    hist_dist = np.asarray(res["hist_dist"])
+
+    # per-segment block decision + tree/header construction (host)
+    final_flags = np.array(
+        [(seg_lo + i) == nseg - 1 for i in range(b)], dtype=bool
+    )
+    (hdr_vals, hdr_bits), tabs, kinds = plan_blocks(
+        hist_lit[:b], hist_dist[:b], n_valid[:b], final_flags, pad_to=b_pad
+    )
+    lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits = tabs
 
     # any packed (non-stored) block beat the stored cost, so < ~9 bits/byte
     out_words = (9 * seg) // 32 + 2 * _HDR_PAD
@@ -328,7 +347,7 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
         jnp.asarray(lit_codes), jnp.asarray(lit_bits),
         jnp.asarray(dist_codes), jnp.asarray(dist_bits),
         jnp.asarray(eob_vals), jnp.asarray(eob_bits),
-        out_words, bitpack_ops,
+        out_words,
     )
     words = np.asarray(words)
     totals = np.asarray(totals)
@@ -402,7 +421,7 @@ def _get_pack_jit():
 
 
 def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
-                   dist_codes, dist_bits, eob_vals, eob_bits, out_words, bitpack_ops):
+                   dist_codes, dist_bits, eob_vals, eob_bits, out_words):
     pack = _get_pack_jit()
     return pack(
         res["on_path"], res["is_match"], res["length"], res["dist"], sym_lit,

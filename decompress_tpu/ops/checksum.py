@@ -164,13 +164,13 @@ def _ceil_pow2(n: int) -> int:
     return p
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _crc32_register_padded(data_padded: jnp.ndarray, length: int) -> jnp.ndarray:
+@jax.jit
+def _crc32_register_padded(data_padded: jnp.ndarray) -> jnp.ndarray:
     """Raw zero-init CRC register of the *back-aligned* padded buffer.
 
-    ``data_padded``: uint8[P] with the true message in the LAST ``length``
-    bytes and zeros in front (leading zeros are no-ops from a zero
-    register).  P must be a power-of-two multiple of CRC_CHUNK.
+    ``data_padded``: uint8[P] with the true message in the LAST bytes
+    and zeros in front (leading zeros are no-ops from a zero register).
+    P must be a power-of-two multiple of CRC_CHUNK.
     """
     p = data_padded.shape[0]
     assert p % CRC_CHUNK == 0
@@ -212,10 +212,41 @@ def crc32(data, value: int = 0) -> int:
     p = _ceil_pow2(max((n + CRC_CHUNK - 1) // CRC_CHUNK, 1)) * CRC_CHUNK
     padded = np.zeros(p, dtype=np.uint8)
     padded[p - n :] = arr
-    reg = int(_crc32_register_padded(jnp.asarray(padded), n))
+    reg = int(_crc32_register_padded(jnp.asarray(padded)))
     # fold in init/xorout (and a previous running crc as initial register)
     init = (value ^ 0xFFFFFFFF) & 0xFFFFFFFF
     return (crc_advance(init, n) ^ reg ^ 0xFFFFFFFF) & 0xFFFFFFFF
+
+
+_CRC_BATCH_JIT = None
+
+
+def crc32_batch(data_2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """CRC-32 of each row's first ``lengths[i]`` bytes, batched on device.
+
+    The register computation is length-independent (back-aligned rows);
+    only the init-register advance differs per row, a cheap host GF(2)
+    matvec.  Used for per-member gzip trailers in the sharded path.
+    """
+    global _CRC_BATCH_JIT
+    m, l = data_2d.shape
+    p = _ceil_pow2(max((l + CRC_CHUNK - 1) // CRC_CHUNK, 1)) * CRC_CHUNK
+    padded = np.zeros((m, p), dtype=np.uint8)
+    for i in range(m):
+        n = int(lengths[i])
+        padded[i, p - n :] = data_2d[i, :n] if n else 0
+    if _CRC_BATCH_JIT is None:
+        _CRC_BATCH_JIT = jax.jit(jax.vmap(_crc32_register_padded))
+    regs = np.asarray(_CRC_BATCH_JIT(jnp.asarray(padded)))
+    out = np.zeros(m, dtype=np.uint64)
+    for i in range(m):
+        n = int(lengths[i])
+        if n == 0:
+            out[i] = 0
+            continue
+        init = crc_advance(0xFFFFFFFF, n)
+        out[i] = (init ^ int(regs[i]) ^ 0xFFFFFFFF) & 0xFFFFFFFF
+    return out.astype(np.uint32)
 
 
 ADLER_CHUNK = 512

@@ -17,6 +17,9 @@ import pathlib
 import jax
 import pytest
 
+# the axon sitecustomize overrides JAX_PLATFORMS; force CPU via config
+jax.config.update("jax_platforms", "cpu")
+
 # persist compiled kernels across test runs (first run pays the compile)
 _CACHE = pathlib.Path(__file__).parent.parent / ".jax_cache"
 jax.config.update("jax_compilation_cache_dir", str(_CACHE))
