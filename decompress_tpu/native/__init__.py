@@ -1,0 +1,171 @@
+"""Native C++ runtime (libtpuz): scalar checksums, LZO oracle, and the
+resumable streaming inflater.  Built on demand with g++ (ctypes, no
+pybind11 dependency)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+import threading
+
+_DIR = pathlib.Path(__file__).parent
+_SRC = _DIR / "tpuz.cpp"
+_SO = _DIR / "libtpuz.so"
+_LOCK = threading.Lock()
+_LIB = None
+_LOAD_ERR: str | None = None
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-Wall", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
+        check=True,
+        capture_output=True,
+    )
+
+
+def _load():
+    global _LIB, _LOAD_ERR
+    if _LIB is not None or _LOAD_ERR is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _LOAD_ERR is not None:
+            return _LIB
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                _build()
+            lib = ctypes.CDLL(str(_SO))
+        except Exception as e:  # pragma: no cover - env without g++
+            _LOAD_ERR = str(e)
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.tpuz_adler32.restype = ctypes.c_uint32
+        lib.tpuz_adler32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.tpuz_crc32.restype = ctypes.c_uint32
+        lib.tpuz_crc32.argtypes = [u8p, ctypes.c_uint64, ctypes.c_uint32]
+        lib.tpuz_crc32_combine.restype = ctypes.c_uint32
+        lib.tpuz_crc32_combine.argtypes = [ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64]
+        lib.tpuz_adler32_combine.restype = ctypes.c_uint32
+        lib.tpuz_adler32_combine.argtypes = [ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64]
+        lib.tpuz_lzo1x_decompress.restype = ctypes.c_int
+        lib.tpuz_lzo1x_decompress.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
+        lib.tpuz_lzo1x_compress.restype = ctypes.c_int
+        lib.tpuz_lzo1x_compress.argtypes = [
+            u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
+        lib.tpuz_inflate_new.restype = ctypes.c_void_p
+        lib.tpuz_inflate_free.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_reset.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_error.restype = ctypes.c_char_p
+        lib.tpuz_inflate_error.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_total_out.restype = ctypes.c_uint64
+        lib.tpuz_inflate_total_out.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_set_dictionary.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_uint32]
+        lib.tpuz_inflate_run.restype = ctypes.c_int
+        lib.tpuz_inflate_run.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
+            u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _u8(data) -> ctypes.Array:
+    b = bytes(data)
+    return (ctypes.c_uint8 * len(b)).from_buffer_copy(b) if b else (ctypes.c_uint8 * 1)()
+
+
+def adler32(data, value: int = 1) -> int:
+    lib = _load()
+    b = bytes(data)
+    return lib.tpuz_adler32(_u8(b), len(b), value)
+
+
+def crc32(data, value: int = 0) -> int:
+    lib = _load()
+    b = bytes(data)
+    return lib.tpuz_crc32(_u8(b), len(b), value)
+
+
+def crc32_combine(c1: int, c2: int, len2: int) -> int:
+    return _load().tpuz_crc32_combine(c1, c2, len2)
+
+
+def adler32_combine(a1: int, a2: int, len2: int) -> int:
+    return _load().tpuz_adler32_combine(a1, a2, len2)
+
+
+class LzoNativeError(ValueError):
+    pass
+
+
+def lzo1x_compress(data) -> bytes:
+    lib = _load()
+    b = bytes(data)
+    cap = len(b) + len(b) // 16 + 128
+    out = (ctypes.c_uint8 * cap)()
+    n = ctypes.c_uint64()
+    rc = lib.tpuz_lzo1x_compress(_u8(b), len(b), out, cap, ctypes.byref(n))
+    if rc != 0:
+        raise LzoNativeError(f"lzo1x_compress failed: {rc}")
+    return bytes(out[: n.value])
+
+
+def lzo1x_decompress(data, out_cap: int) -> bytes:
+    lib = _load()
+    b = bytes(data)
+    out = (ctypes.c_uint8 * max(out_cap, 1))()
+    n = ctypes.c_uint64()
+    rc = lib.tpuz_lzo1x_decompress(_u8(b), len(b), out, out_cap, ctypes.byref(n))
+    if rc != 0:
+        raise LzoNativeError(f"lzo1x_decompress failed: {rc}")
+    return bytes(out[: n.value])
+
+
+class InflateStream:
+    """Resumable raw-DEFLATE inflater (native streaming state machine)."""
+
+    AWAIT, FLUSH, END, MALFORMED = 0, 1, 2, -3
+
+    def __init__(self) -> None:
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError(f"native library unavailable: {_LOAD_ERR}")
+        self._h = self._lib.tpuz_inflate_new()
+
+    def __del__(self) -> None:
+        if getattr(self, "_h", None):
+            self._lib.tpuz_inflate_free(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        self._lib.tpuz_inflate_reset(self._h)
+
+    def set_dictionary(self, dict_bytes: bytes) -> None:
+        b = bytes(dict_bytes)
+        self._lib.tpuz_inflate_set_dictionary(self._h, _u8(b), len(b))
+
+    @property
+    def total_out(self) -> int:
+        return self._lib.tpuz_inflate_total_out(self._h)
+
+    @property
+    def error(self) -> str:
+        return self._lib.tpuz_inflate_error(self._h).decode()
+
+    def run(self, src: bytes, dst_cap: int) -> tuple[int, int, bytes]:
+        """Feed ``src``; returns (status, consumed, produced_bytes)."""
+        sbuf = _u8(src)
+        dbuf = (ctypes.c_uint8 * max(dst_cap, 1))()
+        spos = ctypes.c_uint64(0)
+        dpos = ctypes.c_uint64(0)
+        status = self._lib.tpuz_inflate_run(
+            self._h, sbuf, len(src), ctypes.byref(spos), dbuf, dst_cap,
+            ctypes.byref(dpos))
+        return status, spos.value, bytes(dbuf[: dpos.value])

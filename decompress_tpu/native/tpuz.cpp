@@ -1,0 +1,767 @@
+// tpuz: native runtime pieces of decompress_tpu.
+//
+// Plays the role of the reference's native layer (SURVEY §2 #23–25):
+//   * scalar Adler-32 / CRC-32 (+ combines)  — checkseum.c's role
+//   * an independent LZO1X-1 codec           — the minilzo oracle's role
+//   * a resumable streaming raw-DEFLATE inflater — the byte-serial
+//     fast path for foreign streams (De.Inf's role, de.ml:510–1824),
+//     used by the streaming Python API and the CLI.
+//
+// Written from the RFC 1951/1950 specs and the classic two-level
+// decode-table construction; no code is copied from any existing
+// implementation.
+//
+// Build: g++ -O3 -shared -fPIC tpuz.cpp -o libtpuz.so
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Checksums.
+// ---------------------------------------------------------------------------
+
+static const uint32_t ADLER_MOD = 65521;
+
+uint32_t tpuz_adler32(const uint8_t* p, uint64_t n, uint32_t prev) {
+  uint32_t s1 = prev & 0xffff, s2 = (prev >> 16) & 0xffff;
+  while (n > 0) {
+    uint64_t chunk = n > 5552 ? 5552 : n;  // max before 32-bit overflow
+    n -= chunk;
+    for (uint64_t i = 0; i < chunk; i++) {
+      s1 += *p++;
+      s2 += s1;
+    }
+    s1 %= ADLER_MOD;
+    s2 %= ADLER_MOD;
+  }
+  return (s2 << 16) | s1;
+}
+
+static uint32_t crc_table[8][256];
+static bool crc_init_done = false;
+
+static void crc_init() {
+  if (crc_init_done) return;
+  for (uint32_t i = 0; i < 256; i++) {
+    uint32_t c = i;
+    for (int k = 0; k < 8; k++) c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1)));
+    crc_table[0][i] = c;
+  }
+  for (uint32_t i = 0; i < 256; i++)
+    for (int t = 1; t < 8; t++)
+      crc_table[t][i] = (crc_table[t - 1][i] >> 8) ^ crc_table[0][crc_table[t - 1][i] & 0xff];
+  crc_init_done = true;
+}
+
+uint32_t tpuz_crc32(const uint8_t* p, uint64_t n, uint32_t prev) {
+  crc_init();
+  uint32_t c = ~prev;
+  while (n >= 8) {
+    uint32_t lo, hi;
+    memcpy(&lo, p, 4);
+    memcpy(&hi, p + 4, 4);
+    lo ^= c;
+    c = crc_table[7][lo & 0xff] ^ crc_table[6][(lo >> 8) & 0xff] ^
+        crc_table[5][(lo >> 16) & 0xff] ^ crc_table[4][lo >> 24] ^
+        crc_table[3][hi & 0xff] ^ crc_table[2][(hi >> 8) & 0xff] ^
+        crc_table[1][(hi >> 16) & 0xff] ^ crc_table[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) c = (c >> 8) ^ crc_table[0][(c ^ *p++) & 0xff];
+  return ~c;
+}
+
+// GF(2) 32x32 matrix ops for crc32_combine (zlib algebra, re-derived).
+static void gf2_matsq(uint32_t* sq, const uint32_t* m) {
+  for (int j = 0; j < 32; j++) {
+    uint32_t v = m[j], r = 0;
+    for (int b = 0; b < 32 && v; b++, v >>= 1)
+      if (v & 1) r ^= m[b];
+    sq[j] = r;
+  }
+}
+
+uint32_t tpuz_crc32_combine(uint32_t crc1, uint32_t crc2, uint64_t len2) {
+  // operator: advance register by one zero byte
+  crc_init();
+  uint32_t even[32], odd[32];
+  for (int j = 0; j < 32; j++) {
+    uint32_t v = 1u << j;
+    odd[j] = (v >> 8) ^ crc_table[0][v & 0xff];
+  }
+  // odd = M^1; square repeatedly applying set bits of len2
+  uint32_t* a = odd;
+  uint32_t* b = even;
+  while (len2) {
+    if (len2 & 1) {
+      uint32_t r = 0, v = crc1;
+      for (int bit = 0; bit < 32 && v; bit++, v >>= 1)
+        if (v & 1) r ^= a[bit];
+      crc1 = r;
+    }
+    len2 >>= 1;
+    if (!len2) break;
+    gf2_matsq(b, a);
+    uint32_t* t = a; a = b; b = t;
+  }
+  return crc1 ^ crc2;
+}
+
+uint32_t tpuz_adler32_combine(uint32_t a1, uint32_t a2, uint64_t len2) {
+  uint64_t rem = len2 % ADLER_MOD;
+  uint64_t s1_1 = a1 & 0xffff, s2_1 = (a1 >> 16) & 0xffff;
+  uint64_t s1_2 = a2 & 0xffff, s2_2 = (a2 >> 16) & 0xffff;
+  uint64_t s1 = (s1_1 + s1_2 + ADLER_MOD - 1) % ADLER_MOD;
+  uint64_t s2 = (s2_1 + s2_2 + rem * (s1_1 + ADLER_MOD - 1)) % ADLER_MOD;
+  return (uint32_t)((s2 << 16) | s1);
+}
+
+// ---------------------------------------------------------------------------
+// LZO1X (independent oracle implementation).
+// ---------------------------------------------------------------------------
+
+#define TPUZ_OK 0
+#define TPUZ_E_INPUT (-1)
+#define TPUZ_E_OUTPUT (-2)
+#define TPUZ_E_DATA (-3)
+
+int tpuz_lzo1x_decompress(const uint8_t* in, uint64_t in_len, uint8_t* out,
+                          uint64_t out_cap, uint64_t* out_len) {
+  const uint8_t* ip = in;
+  const uint8_t* const ip_end = in + in_len;
+  uint8_t* op = out;
+  uint8_t* const op_end = out + out_cap;
+  int state = 0;
+
+#define NEED_IN(k) do { if ((uint64_t)(ip_end - ip) < (uint64_t)(k)) return TPUZ_E_INPUT; } while (0)
+#define NEED_OUT(k) do { if ((uint64_t)(op_end - op) < (uint64_t)(k)) return TPUZ_E_OUTPUT; } while (0)
+
+  NEED_IN(1);
+  if (*ip > 17) {
+    uint32_t t = *ip++ - 17;
+    NEED_IN(t);
+    NEED_OUT(t);
+    for (uint32_t i = 0; i < t; i++) *op++ = *ip++;
+    state = t < 4 ? (int)t : 4;
+  }
+
+  for (;;) {
+    NEED_IN(1);
+    uint32_t t = *ip++;
+    uint32_t len, dist, s;
+    if (t < 16) {
+      if (state == 0) {
+        if (t == 0) {
+          len = 15;
+          while (ip < ip_end && *ip == 0) { len += 255; ip++; if (len > (1u<<26)) return TPUZ_E_DATA; }
+          NEED_IN(1);
+          len += *ip++;
+        } else {
+          len = t;
+        }
+        len += 3;
+        NEED_IN(len);
+        NEED_OUT(len);
+        memcpy(op, ip, len);
+        op += len; ip += len;
+        state = 4;
+        continue;
+      }
+      NEED_IN(1);
+      uint32_t nxt = *ip++;
+      if (state >= 1 && state <= 3) {
+        dist = (t >> 2) + (nxt << 2) + 1;
+        len = 2;
+      } else {  // state == 4
+        dist = (t >> 2) + (nxt << 2) + 2049;
+        len = 3;
+      }
+      s = t & 3;
+    } else if (t < 32) {  // M4
+      len = t & 7;
+      if (len == 0) {
+        len = 7;
+        while (ip < ip_end && *ip == 0) { len += 255; ip++; if (len > (1u<<26)) return TPUZ_E_DATA; }
+        NEED_IN(1);
+        len += *ip++;
+      }
+      len += 2;
+      NEED_IN(2);
+      uint32_t le = ip[0] | (ip[1] << 8);
+      ip += 2;
+      dist = 16384 + ((t & 8) << 11) + (le >> 2);
+      s = le & 3;
+      if (dist == 16384) break;  // end marker
+    } else if (t < 64) {  // M3
+      len = t & 31;
+      if (len == 0) {
+        len = 31;
+        while (ip < ip_end && *ip == 0) { len += 255; ip++; if (len > (1u<<26)) return TPUZ_E_DATA; }
+        NEED_IN(1);
+        len += *ip++;
+      }
+      len += 2;
+      NEED_IN(2);
+      uint32_t le = ip[0] | (ip[1] << 8);
+      ip += 2;
+      dist = (le >> 2) + 1;
+      s = le & 3;
+    } else {  // M2
+      len = (t >> 5) + 1;
+      NEED_IN(1);
+      dist = ((t >> 2) & 7) + (*ip++ << 3) + 1;
+      s = t & 3;
+    }
+    if (dist > (uint64_t)(op - out)) return TPUZ_E_DATA;
+    NEED_OUT(len);
+    const uint8_t* src = op - dist;
+    for (uint32_t i = 0; i < len; i++) op[i] = src[i];  // overlap-correct
+    op += len;
+    if (s) {
+      NEED_IN(s);
+      NEED_OUT(s);
+      for (uint32_t i = 0; i < s; i++) *op++ = *ip++;
+    }
+    state = (int)s;
+  }
+  if (ip != ip_end) return TPUZ_E_DATA;
+  *out_len = (uint64_t)(op - out);
+  return TPUZ_OK;
+#undef NEED_IN
+#undef NEED_OUT
+}
+
+// Simple greedy LZO1X-1-style compressor: hash-4 table, window 48K.
+int tpuz_lzo1x_compress(const uint8_t* in, uint64_t n, uint8_t* out,
+                        uint64_t out_cap, uint64_t* out_len) {
+  uint8_t* op = out;
+  uint8_t* const op_end = out + out_cap;
+  uint32_t htab[1 << 14];
+  for (int i = 0; i < (1 << 14); i++) htab[i] = 0xffffffffu;
+
+#define PUT(b) do { if (op >= op_end) return TPUZ_E_OUTPUT; *op++ = (uint8_t)(b); } while (0)
+
+  uint64_t lit_start = 0;
+  uint64_t i = 0;
+  bool first = true;
+
+  auto emit_run = [&](uint64_t lo, uint64_t hi) -> int {
+    uint64_t run = hi - lo;
+    if (run == 0) return 0;
+    if (first && run <= 238) {
+      PUT(run + 17);
+    } else if (run < 4) {
+      return TPUZ_E_DATA;  // never by construction
+    } else if (run <= 18) {
+      PUT(run - 3);
+    } else {
+      PUT(0);
+      uint64_t rem = run - 18;
+      while (rem > 255) { PUT(0); rem -= 255; }
+      PUT(rem);
+    }
+    if ((uint64_t)(op_end - op) < run) return TPUZ_E_OUTPUT;
+    memcpy(op, in + lo, run);
+    op += run;
+    first = false;
+    return 0;
+  };
+
+  while (i + 4 <= n) {
+    uint32_t v;
+    memcpy(&v, in + i, 4);
+    uint32_t h = (v * 0x9E3779B1u) >> 18;  // 14 bits
+    uint32_t cand = htab[h];
+    htab[h] = (uint32_t)i;
+    uint64_t dist = (cand == 0xffffffffu) ? 0 : i - cand;
+    if (cand != 0xffffffffu && dist >= 1 && dist <= 49151) {
+      uint32_t cv;
+      memcpy(&cv, in + cand, 4);
+      uint64_t pend_run = i - lit_start;
+      // a standalone literal run of 1..3 is not encodable mid-stream
+      // (it would ride a previous match's trailing bits, already
+      // emitted); defer matching until the run reaches 4
+      bool run_ok = first || pend_run == 0 || pend_run >= 4;
+      if (cv == v && run_ok) {
+        // extend
+        uint64_t len = 4;
+        uint64_t maxl = n - i;
+        if (maxl > 0x7000) maxl = 0x7000;
+        while (len < maxl && in[cand + len] == in[i + len]) len++;
+        {
+          if (emit_run(lit_start, i)) return TPUZ_E_OUTPUT;
+          first = false;
+          // trailing literals: decided after we know next match; emit 0
+          // here and let short runs be impossible by construction:
+          // we always attach up to 3 literals following the match.
+          uint64_t q = i + len;
+          uint64_t s = 0;
+          // look ahead: attach 1..3 literals if fewer than 4 remain
+          // before either EOF or the next likely match; cheap rule:
+          // attach if remaining input after match is 1..3 bytes.
+          if (n - q > 0 && n - q < 4) s = n - q;
+          // emit match
+          if (dist <= 2048 && len <= 8) {
+            PUT(((len - 1) << 5) | (((dist - 1) & 7) << 2) | s);
+            PUT((dist - 1) >> 3);
+          } else if (dist <= 16384) {
+            uint64_t base = len - 2;
+            if (base < 32) PUT(32 | base);
+            else {
+              PUT(32);
+              uint64_t rem = base - 31;
+              while (rem > 255) { PUT(0); rem -= 255; }
+              PUT(rem);
+            }
+            uint32_t le = (uint32_t)(((dist - 1) << 2) | s);
+            PUT(le & 0xff); PUT(le >> 8);
+          } else {
+            uint64_t d = dist - 16384;
+            uint64_t base = len - 2;
+            uint32_t tt = 16 | ((d >> 11) & 8);
+            if (base < 8) PUT(tt | base);
+            else {
+              PUT(tt);
+              uint64_t rem = base - 7;
+              while (rem > 255) { PUT(0); rem -= 255; }
+              PUT(rem);
+            }
+            uint32_t le = (uint32_t)(((d & 0x3fff) << 2) | s);
+            PUT(le & 0xff); PUT(le >> 8);
+          }
+          for (uint64_t k = 0; k < s; k++) PUT(in[q + k]);
+          // index skipped positions sparsely
+          for (uint64_t k = i + 1; k < q && k + 4 <= n; k += 2) {
+            uint32_t vv;
+            memcpy(&vv, in + k, 4);
+            htab[(vv * 0x9E3779B1u) >> 18] = (uint32_t)k;
+          }
+          i = q + s;
+          lit_start = i;
+          continue;
+        }
+      }
+    }
+    i++;
+  }
+  // Trailing literals.  A mid-stream tail of 1..3 is impossible by
+  // construction: every match whose end leaves fewer than 4 bytes
+  // attaches them as its trailing literals, so any standalone tail run
+  // here is either the whole (short) input (first-byte form) or >= 4.
+  if (lit_start < n) {
+    if (emit_run(lit_start, n)) return TPUZ_E_OUTPUT;
+  }
+  PUT(0x11); PUT(0x00); PUT(0x00);
+  *out_len = (uint64_t)(op - out);
+  return TPUZ_OK;
+#undef PUT
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Resumable streaming raw-DEFLATE inflater.
+//
+// Byte-serial fast path for foreign streams (the device batch decoder
+// handles member-parallel archives).  State machine with suspendable
+// NEEDBITS at every read point, 32 KiB ring window mirroring output
+// (the reference's WInf blit2 discipline, de.ml:163–205), and the
+// whole-byte give-back at end of stream (de.ml:1459–1466).
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+enum {
+  TPUZ_AWAIT = 0,
+  TPUZ_FLUSH = 1,
+  TPUZ_END = 2,
+  TPUZ_MALFORMED = -3,
+};
+
+// decode-table entry: flags<<28 | nbits<<16 | value (same packing as the
+// python core so tests can cross-check)
+static const int32_t F_SYMBOL = 0, F_LINK = 1, F_INVALID = 2;
+#define ENTRY(f, n, v) ((int32_t)(((f) << 28) | ((n) << 16) | (v)))
+#define E_FLAGS(e) ((e) >> 28)
+#define E_NBITS(e) (((e) >> 16) & 0xfff)
+#define E_VALUE(e) ((e) & 0xffff)
+
+struct Huff {
+  int32_t table[1 << 12];
+  int root_bits;
+};
+
+static uint32_t rev_bits(uint32_t v, int n) {
+  uint32_t r = 0;
+  for (int i = 0; i < n; i++) { r = (r << 1) | (v & 1); v >>= 1; }
+  return r;
+}
+
+// Build two-level table. Returns 0 ok, -1 invalid. allow_incomplete for
+// degenerate distance trees.
+static int huff_build(Huff* h, const uint8_t* lens, int n, int root_bits,
+                      int allow_incomplete) {
+  int counts[16] = {0};
+  int nsyms = 0, max_len = 0;
+  for (int i = 0; i < n; i++) {
+    counts[lens[i]]++;
+    if (lens[i]) { nsyms++; if (lens[i] > max_len) max_len = lens[i]; }
+  }
+  // kraft
+  long long slack = 1 << 15;
+  for (int l = 1; l <= 15; l++) slack -= (long long)counts[l] << (15 - l);
+  if (slack < 0) return -1;
+  if (slack > 0 && !(allow_incomplete && nsyms <= 1)) return -1;
+  int rb = root_bits;
+  if (max_len && max_len < rb) rb = max_len;
+  if (rb < 1) rb = 1;
+  h->root_bits = root_bits;  // caller always peeks root_bits
+  int root_size = 1 << rb;
+  int cap = 1 << 12;
+  for (int i = 0; i < cap; i++) h->table[i] = ENTRY(F_INVALID, 0, 0);
+  if (nsyms == 0) {
+    // replicate invalid root across the full peek width
+    for (int i = root_size; i < (1 << root_bits); i++) h->table[i] = h->table[i & (root_size - 1)];
+    return 0;
+  }
+  // canonical codes
+  int next_code[17];
+  int code = 0;
+  next_code[0] = 0;
+  for (int l = 1; l <= 16; l++) { code = (code + counts[l - 1]) << 1; next_code[l] = code; }
+  int total = 1 << root_bits;  // subtables start after the padded root
+  // first pass: subtable allocation per root prefix for long codes
+  // (we walk symbols in canonical order)
+  int sub_off[1 << 10];
+  int sub_bits_arr[1 << 10];
+  for (int i = 0; i < (1 << 10); i++) { sub_off[i] = -1; sub_bits_arr[i] = 0; }
+  if (max_len > rb) {
+    // compute per-prefix max length
+    int codes2[16];
+    memcpy(codes2, next_code, sizeof(codes2));
+    for (int l = 1; l <= 15; l++) {
+      for (int s = 0; s < n; s++) {
+        if (lens[s] != l) continue;
+        uint32_t c = rev_bits(codes2[l]++, l);
+        if (l <= rb) continue;
+        uint32_t p = c & (root_size - 1);
+        if ((int)(l - rb) > sub_bits_arr[p]) sub_bits_arr[p] = l - rb;
+      }
+    }
+    for (int p = 0; p < root_size; p++) {
+      if (sub_bits_arr[p]) {
+        sub_off[p] = total;
+        total += 1 << sub_bits_arr[p];
+        if (total > cap) return -1;
+        h->table[p] = ENTRY(F_LINK, sub_bits_arr[p], sub_off[p]);
+      }
+    }
+  }
+  // second pass: fill entries
+  for (int l = 1; l <= 15; l++) {
+    for (int s = 0; s < n; s++) {
+      if (lens[s] != l) continue;
+      uint32_t c = rev_bits(next_code[l]++, l);
+      if (l <= rb) {
+        for (int idx = c; idx < root_size; idx += 1 << l)
+          h->table[idx] = ENTRY(F_SYMBOL, l, s);
+      } else {
+        uint32_t p = c & (root_size - 1);
+        int sb = sub_bits_arr[p];
+        uint32_t rem = c >> rb;
+        for (int idx = rem; idx < (1 << sb); idx += 1 << (l - rb))
+          h->table[sub_off[p] + idx] = ENTRY(F_SYMBOL, l, s);
+      }
+    }
+  }
+  // pad root to the full peek width
+  for (int i = root_size; i < (1 << root_bits); i++) h->table[i] = h->table[i & (root_size - 1)];
+  return 0;
+}
+
+static const uint16_t LEN_BASE[29] = {3,4,5,6,7,8,9,10,11,13,15,17,19,23,27,31,
+  35,43,51,59,67,83,99,115,131,163,195,227,258};
+static const uint8_t LEN_EXTRA[29] = {0,0,0,0,0,0,0,0,1,1,1,1,2,2,2,2,3,3,3,3,
+  4,4,4,4,5,5,5,5,0};
+static const uint16_t DIST_BASE[30] = {1,2,3,4,5,7,9,13,17,25,33,49,65,97,129,
+  193,257,385,513,769,1025,1537,2049,3073,4097,6145,8193,12289,16385,24577};
+static const uint8_t DIST_EXTRA[30] = {0,0,0,0,1,1,2,2,3,3,4,4,5,5,6,6,7,7,8,8,
+  9,9,10,10,11,11,12,12,13,13};
+static const uint8_t PRECODE_ORDER[19] = {16,17,18,0,8,7,9,6,10,5,11,4,12,3,13,
+  2,14,1,15};
+
+enum Mode {
+  M_HEAD = 0, M_STORED_LEN, M_STORED_COPY, M_TABLE_SIZES, M_TABLE_PRE,
+  M_TABLE_LENS, M_TABLE_REP, M_SYM, M_LENEXTRA, M_DISTSYM, M_DISTEXTRA,
+  M_COPY, M_DONE, M_BAD,
+};
+
+struct TpuzInflate {
+  uint64_t hold;
+  int bits;
+  int mode;
+  int final_block;
+  uint32_t stored_rem;
+  int hlit, hdist, hclen, lenidx;
+  uint8_t lens[320];
+  Huff pre, lit, dist;
+  int fixed_ready;
+  uint32_t rep_sym, rep_bits_val;
+  uint32_t sym_len, copy_len, copy_dist;
+  uint8_t window[32768];
+  uint64_t total_out;
+  const char* err;
+};
+
+TpuzInflate* tpuz_inflate_new() {
+  TpuzInflate* s = (TpuzInflate*)calloc(1, sizeof(TpuzInflate));
+  return s;
+}
+void tpuz_inflate_free(TpuzInflate* s) { free(s); }
+void tpuz_inflate_reset(TpuzInflate* s) {
+  uint8_t keep_fixed = 0;
+  memset(s, 0, sizeof(*s));
+  (void)keep_fixed;
+}
+const char* tpuz_inflate_error(TpuzInflate* s) { return s->err ? s->err : ""; }
+uint64_t tpuz_inflate_total_out(TpuzInflate* s) { return s->total_out; }
+
+int tpuz_inflate_set_dictionary(TpuzInflate* s, const uint8_t* dict, uint32_t len) {
+  if (len > 32768) { dict += len - 32768; len = 32768; }
+  // place dictionary as if it were prior output
+  for (uint32_t i = 0; i < len; i++)
+    s->window[(s->total_out + i) & 32767] = dict[i];
+  s->total_out += len;
+  return 0;
+}
+
+static void build_fixed(TpuzInflate* s) {
+  uint8_t lens[288];
+  for (int i = 0; i < 144; i++) lens[i] = 8;
+  for (int i = 144; i < 256; i++) lens[i] = 9;
+  for (int i = 256; i < 280; i++) lens[i] = 7;
+  for (int i = 280; i < 288; i++) lens[i] = 8;
+  huff_build(&s->lit, lens, 288, 10, 0);
+  uint8_t dl[32];
+  for (int i = 0; i < 32; i++) dl[i] = 5;
+  huff_build(&s->dist, dl, 32, 8, 0);
+}
+
+int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
+                     uint64_t* src_pos, uint8_t* dst, uint64_t dst_cap,
+                     uint64_t* dst_pos) {
+  uint64_t sp = *src_pos;
+  uint64_t dp = *dst_pos;
+  uint64_t hold = s->hold;
+  int bits = s->bits;
+
+#define SAVE() do { s->hold = hold; s->bits = bits; *src_pos = sp; *dst_pos = dp; } while (0)
+#define AWAIT() do { SAVE(); return TPUZ_AWAIT; } while (0)
+#define FLUSHED() do { SAVE(); return TPUZ_FLUSH; } while (0)
+#define BAD(msg) do { s->mode = M_BAD; s->err = msg; SAVE(); return TPUZ_MALFORMED; } while (0)
+#define NEEDBITS(k) do { while (bits < (int)(k)) { if (sp >= src_len) AWAIT(); hold |= (uint64_t)src[sp++] << bits; bits += 8; } } while (0)
+#define DROPBITS(k) do { hold >>= (k); bits -= (k); } while (0)
+#define OUTBYTE(b) do { uint8_t _b = (uint8_t)(b); dst[dp++] = _b; s->window[s->total_out & 32767] = _b; s->total_out++; } while (0)
+
+#define DECODE(H, RB, EVAR) \
+  for (;;) { \
+    EVAR = (H).table[hold & ((1u << (RB)) - 1)]; \
+    if (E_FLAGS(EVAR) == F_LINK) \
+      EVAR = (H).table[E_VALUE(EVAR) + ((hold >> (RB)) & ((1u << E_NBITS(EVAR)) - 1))]; \
+    if (E_FLAGS(EVAR) == F_SYMBOL && E_NBITS(EVAR) <= bits) break; \
+    if (bits >= 15) { EVAR = -1; break; } \
+    if (sp >= src_len) AWAIT(); \
+    hold |= (uint64_t)src[sp++] << bits; \
+    bits += 8; \
+  }
+
+  for (;;) {
+    switch (s->mode) {
+      case M_HEAD: {
+        NEEDBITS(3);
+        s->final_block = hold & 1;
+        int btype = (hold >> 1) & 3;
+        DROPBITS(3);
+        if (btype == 0) {
+          DROPBITS(bits & 7);  // align
+          s->mode = M_STORED_LEN;
+        } else if (btype == 1) {
+          build_fixed(s);
+          s->mode = M_SYM;
+        } else if (btype == 2) {
+          s->mode = M_TABLE_SIZES;
+        } else {
+          BAD("invalid kind of block");
+        }
+        break;
+      }
+      case M_STORED_LEN: {
+        NEEDBITS(32);
+        uint32_t len = hold & 0xffff;
+        uint32_t nlen = (hold >> 16) & 0xffff;
+        if (len != (nlen ^ 0xffff)) BAD("invalid complement of length");
+        DROPBITS(32);
+        s->stored_rem = len;
+        s->mode = M_STORED_COPY;
+        break;
+      }
+      case M_STORED_COPY: {
+        while (s->stored_rem > 0) {
+          if (bits >= 8) {
+            if (dp >= dst_cap) FLUSHED();
+            OUTBYTE(hold & 0xff);
+            DROPBITS(8);
+            s->stored_rem--;
+            continue;
+          }
+          if (sp >= src_len) AWAIT();
+          if (dp >= dst_cap) FLUSHED();
+          OUTBYTE(src[sp++]);
+          s->stored_rem--;
+        }
+        s->mode = s->final_block ? M_DONE : M_HEAD;
+        break;
+      }
+      case M_TABLE_SIZES: {
+        NEEDBITS(14);
+        s->hlit = (hold & 31) + 257;
+        s->hdist = ((hold >> 5) & 31) + 1;
+        s->hclen = ((hold >> 10) & 15) + 4;
+        DROPBITS(14);
+        if (s->hlit > 286 || s->hdist > 30) BAD("invalid dictionary");
+        s->lenidx = 0;
+        memset(s->lens, 0, 19);
+        s->mode = M_TABLE_PRE;
+        break;
+      }
+      case M_TABLE_PRE: {
+        while (s->lenidx < s->hclen) {
+          NEEDBITS(3);
+          s->lens[PRECODE_ORDER[s->lenidx]] = hold & 7;
+          DROPBITS(3);
+          s->lenidx++;
+        }
+        if (huff_build(&s->pre, s->lens, 19, 7, 0) != 0) BAD("invalid dictionary");
+        s->lenidx = 0;
+        memset(s->lens, 0, sizeof(s->lens));
+        s->mode = M_TABLE_LENS;
+        break;
+      }
+      case M_TABLE_LENS: {
+        int total = s->hlit + s->hdist;
+        while (s->lenidx < total) {
+          int32_t e;
+          DECODE(s->pre, 7, e);
+          if (E_FLAGS(e) != F_SYMBOL) BAD("invalid dictionary");
+          int nb = E_NBITS(e);
+          int sym = E_VALUE(e);
+          if (sym < 16) {
+            DROPBITS(nb);
+            s->lens[s->lenidx++] = sym;
+          } else {
+            int eb = sym == 16 ? 2 : (sym == 17 ? 3 : 7);
+            NEEDBITS(nb + eb);  // keep the symbol unconsumed until the
+            DROPBITS(nb);       // extra bits are present (resumable)
+            int rep = (sym == 16 ? 3 : (sym == 17 ? 3 : 11)) + (hold & ((1u << eb) - 1));
+            DROPBITS(eb);
+            if (sym == 16) {
+              if (s->lenidx == 0) BAD("invalid dictionary");
+              if (s->lenidx + rep > total) BAD("invalid dictionary");
+              uint8_t prev = s->lens[s->lenidx - 1];
+              for (int i = 0; i < rep; i++) s->lens[s->lenidx++] = prev;
+            } else {
+              if (s->lenidx + rep > total) BAD("invalid dictionary");
+              s->lenidx += rep;
+            }
+          }
+        }
+        if (s->lens[256] == 0) BAD("invalid dictionary");
+        if (huff_build(&s->lit, s->lens, s->hlit, 10, 0) != 0)
+          BAD("invalid dictionary");
+        if (huff_build(&s->dist, s->lens + s->hlit, s->hdist, 8, 1) != 0)
+          BAD("invalid dictionary");
+        s->mode = M_SYM;
+        break;
+      }
+      case M_SYM: {
+        for (;;) {
+          int32_t e;
+          DECODE(s->lit, 10, e);
+          if (E_FLAGS(e) != F_SYMBOL) BAD("invalid literal/length");
+          int nb = E_NBITS(e);
+          int sym = E_VALUE(e);
+          if (sym < 256) {
+            if (dp >= dst_cap) FLUSHED();
+            DROPBITS(nb);
+            OUTBYTE(sym);
+            continue;
+          }
+          DROPBITS(nb);
+          if (sym == 256) {
+            s->mode = s->final_block ? M_DONE : M_HEAD;
+            break;
+          }
+          if (sym > 285) BAD("invalid literal/length");
+          s->sym_len = sym - 257;
+          s->mode = M_LENEXTRA;
+          break;
+        }
+        break;
+      }
+      case M_LENEXTRA: {
+        int eb = LEN_EXTRA[s->sym_len];
+        NEEDBITS(eb);
+        s->copy_len = LEN_BASE[s->sym_len] + (hold & ((1u << eb) - 1));
+        DROPBITS(eb);
+        s->mode = M_DISTSYM;
+        break;
+      }
+      case M_DISTSYM: {
+        int32_t e;
+        DECODE(s->dist, 8, e);
+        if (E_FLAGS(e) != F_SYMBOL) BAD("invalid distance code");
+        int sym = E_VALUE(e);
+        if (sym > 29) BAD("invalid distance code");
+        DROPBITS(E_NBITS(e));
+        s->rep_sym = sym;
+        s->mode = M_DISTEXTRA;
+        break;
+      }
+      case M_DISTEXTRA: {
+        int eb = DIST_EXTRA[s->rep_sym];
+        NEEDBITS(eb);
+        s->copy_dist = DIST_BASE[s->rep_sym] + (hold & ((1u << eb) - 1));
+        DROPBITS(eb);
+        if (s->copy_dist > s->total_out) BAD("invalid distance");
+        s->mode = M_COPY;
+        break;
+      }
+      case M_COPY: {
+        while (s->copy_len > 0) {
+          if (dp >= dst_cap) FLUSHED();
+          uint8_t b = s->window[(s->total_out - s->copy_dist) & 32767];
+          OUTBYTE(b);
+          s->copy_len--;
+        }
+        s->mode = M_SYM;
+        break;
+      }
+      case M_DONE: {
+        // give back whole unconsumed bytes (de.ml:1459–1466)
+        while (bits >= 8) { bits -= 8; sp--; }
+        hold &= (1u << bits) - 1;
+        SAVE();
+        return TPUZ_END;
+      }
+      case M_BAD:
+        SAVE();
+        return TPUZ_MALFORMED;
+    }
+  }
+}
+
+}  // extern "C"
