@@ -111,6 +111,15 @@ class BitWriter:
             return b""
         return np.concatenate(self._chunks).tobytes()
 
+    def take_bytes(self) -> bytes:
+        """Drain the whole bytes accumulated so far, keeping the partial
+        bit state (streaming emission without forcing alignment)."""
+        if not self._chunks:
+            return b""
+        out = np.concatenate(self._chunks).tobytes()
+        self._chunks = []
+        return out
+
 
 class BitReader:
     """LSB-first bit reader over a byte buffer (host parse paths).

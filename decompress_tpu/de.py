@@ -430,6 +430,171 @@ def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
     )
 
 
+def reconstruct(cmds: list[int]) -> bytes:
+    """Apply a command list (the fuzz `reconstruct` oracle,
+    fuzz.ml:234–265): literals append, copies re-read earlier output."""
+    out = bytearray()
+    for c in cmds:
+        kind, arg = cmd_unpack(c)
+        if kind == "literal":
+            out.append(arg)
+        elif kind == "copy":
+            off, ln = arg
+            if off > len(out):
+                raise MalformedError("invalid distance")
+            src = len(out) - off
+            for k in range(ln):
+                out.append(out[src + k])
+        else:
+            break
+    return bytes(out)
+
+
+def encode_commands(cmds: list[int], *, block: str | None = None,
+                    final: bool = True) -> bytes:
+    """Entropy-encode a command list as one DEFLATE block (host path).
+
+    The queue-driven `De.Def` role (de.mli:300–445): any producer that
+    writes Queue commands can be encoded, independent of the match
+    finder.  ``block`` forces 'fixed' or 'dynamic' (default: exact cost
+    choice, de.ml:2415–2449).
+    """
+    cmds = [c for c in cmds if c != CMD_EOB]
+    hist_lit = np.zeros(NUM_LIT_SYMS, dtype=np.int64)
+    hist_dist = np.zeros(NUM_DIST_SYMS, dtype=np.int64)
+    hist_lit[EOB] = 1
+    lits, lens_, dists = [], [], []
+    for c in cmds:
+        kind, arg = cmd_unpack(c)
+        if kind == "literal":
+            hist_lit[arg] += 1
+            lits.append(arg)
+            lens_.append(0)
+            dists.append(0)
+        else:
+            off, ln = arg
+            sym = 257 + int(tables.length_to_code(np.array([ln]))[0])
+            hist_lit[sym] += 1
+            hist_dist[int(tables.dist_to_code(np.array([off]))[0])] += 1
+            lits.append(-1)
+            lens_.append(ln)
+            dists.append(off)
+
+    dyn_lit = huffman.code_lengths_from_frequencies(hist_lit)
+    dyn_dist = huffman.code_lengths_from_frequencies(hist_dist)
+    header = build_dynamic_header(dyn_lit, dyn_dist)
+    cost_dyn = header.bit_length + symbol_cost_bits(hist_lit, hist_dist, dyn_lit, dyn_dist)
+    cost_fix = symbol_cost_bits(hist_lit, hist_dist, _FIXED_LIT_BITS, _FIXED_DIST_BITS)
+    kind = block or ("fixed" if cost_fix <= cost_dyn else "dynamic")
+
+    w = bitstream.BitWriter()
+    w.write(1 if final else 0, 1)
+    if kind == "fixed":
+        w.write(1, 2)
+        ll, dl = tables.FIXED_LIT_LENGTHS, tables.FIXED_DIST_LENGTHS
+    else:
+        w.write(2, 2)
+        ll, dl = dyn_lit, dyn_dist
+        packed, total = bitstream.pack_bits(header.values, header.nbits)
+        w.write_packed(packed, total)
+    lc = huffman.canonical_codes(ll)
+    dc = huffman.canonical_codes(dl)
+    for i, c in enumerate(cmds):
+        if lits[i] >= 0:
+            w.write(int(lc[lits[i]]), int(ll[lits[i]]))
+        else:
+            ln, off = lens_[i], dists[i]
+            lcode = int(tables.length_to_code(np.array([ln]))[0])
+            sym = 257 + lcode
+            w.write(int(lc[sym]), int(ll[sym]))
+            w.write(ln - int(LENGTH_BASE[lcode]), int(LENGTH_EXTRA[lcode]))
+            dcode = int(tables.dist_to_code(np.array([off]))[0])
+            w.write(int(dc[dcode]), int(dl[dcode]))
+            w.write(off - int(DIST_BASE[dcode]), int(DIST_EXTRA[dcode]))
+    w.write(int(lc[EOB]), int(ll[EOB]))
+    return w.getvalue()
+
+
+def _analyze_one(chunk: bytes, hist: bytes, level: int, seg: int):
+    """Device analysis of a single chunk with explicit history; returns
+    (res dict sliced to row 0 host arrays, n)."""
+    import jax.numpy as jnp
+
+    from .ops import lz77 as lz77_ops
+
+    n = len(chunk)
+    if n > seg:
+        raise ValueError("chunk larger than segment")
+    b_pad = MAX_DEVICE_BATCH
+    data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
+    hl = min(len(hist), lz77_ops.HIST)
+    if hl:
+        data[0, lz77_ops.HIST - hl : lz77_ops.HIST] = np.frombuffer(hist[-hl:], np.uint8)
+    data[0, lz77_ops.HIST : lz77_ops.HIST + n] = np.frombuffer(chunk, np.uint8)
+    n_valid = np.zeros(b_pad, np.int32)
+    n_valid[0] = n
+    hist_len = np.zeros(b_pad, np.int32)
+    hist_len[0] = hl
+    res = lz77_ops.lz77_analyze(
+        jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
+        level=level, seg_len=seg,
+    )
+    return res, data, n_valid, hist_len
+
+
+def match_commands(chunk: bytes, hist: bytes = b"", level: int = 6,
+                   seg: int | None = None) -> list[int]:
+    """Match-find one chunk (with history) into packed commands
+    (Queue int packing; no EOB appended)."""
+    if seg is None:
+        seg = 16384
+        while seg < len(chunk):
+            seg *= 2
+    res, _, _, _ = _analyze_one(chunk, hist, level, seg)
+    on_path = np.asarray(res["on_path"])[0]
+    is_match = np.asarray(res["is_match"])[0]
+    length = np.asarray(res["length"])[0]
+    dist = np.asarray(res["dist"])[0]
+    cmds: list[int] = []
+    n = len(chunk)
+    pos = np.flatnonzero(on_path[:n])
+    for p in pos:
+        if is_match[p]:
+            cmds.append(cmd_copy(int(dist[p]), int(length[p])))
+        else:
+            cmds.append(cmd_literal(chunk[p]))
+    return cmds
+
+
+def deflate_segment_into(w: bitstream.BitWriter, chunk: bytes, hist: bytes,
+                         level: int, seg: int, final: bool) -> None:
+    """Encode one segment (with history) appending to an open writer —
+    the streaming Deflate backend."""
+    res, data, n_valid, _ = _analyze_one(chunk, hist, level, seg)
+    from .ops import lz77 as lz77_ops
+
+    hist_lit = np.asarray(res["hist_lit"])[:1]
+    hist_dist = np.asarray(res["hist_dist"])[:1]
+    (hdr_vals, hdr_bits), tabs, kinds = plan_blocks(
+        hist_lit, hist_dist, n_valid[:1], np.array([final]), pad_to=MAX_DEVICE_BATCH
+    )
+    if kinds[0] == "stored":
+        _emit_stored(w, np.frombuffer(chunk, np.uint8), final=final)
+        return
+    import jax.numpy as jnp
+
+    out_words = (9 * seg) // 32 + 2 * _HDR_PAD
+    words, totals = _pack_segments(
+        res, jnp.asarray(data[:, lz77_ops.HIST :].astype(np.int32)),
+        jnp.asarray(hdr_vals), jnp.asarray(hdr_bits),
+        *[jnp.asarray(t) for t in tabs], out_words,
+    )
+    w.write_packed(
+        np.frombuffer(np.asarray(words)[0].astype("<u4").tobytes(), np.uint8),
+        int(np.asarray(totals)[0]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host reference inflate (De.Inf.Ns parity, de.ml:1534–1823).
 # ---------------------------------------------------------------------------

@@ -20,6 +20,15 @@ def enable_compile_cache(path: str | None = None) -> None:
         return
     import jax
 
+    # framework-level platform override (the axon sitecustomize force-sets
+    # JAX_PLATFORMS, so an ordinary env var cannot select the CPU backend)
+    plat = os.environ.get("DECOMPRESS_TPU_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+
     if getattr(jax.config, "jax_compilation_cache_dir", None):
         _DONE = True
         return  # caller (e.g. test conftest) already configured one

@@ -77,3 +77,166 @@ def inflate_ex(data) -> tuple[bytes, int]:
 # camlzip-style conveniences (Zl.Higher parity, zl.ml:633–667)
 compress = deflate
 uncompress = inflate
+
+
+# ---------------------------------------------------------------------------
+# Streaming (Zl.Inf / Zl.Def parity, zl.ml:143–631).
+# ---------------------------------------------------------------------------
+
+
+class Inf:
+    """Streaming zlib decoder: header check, raw inflate, Adler verify."""
+
+    def __init__(self, o_size: int = de.io_buffer_size):
+        from . import native, streaming
+
+        self._streaming = streaming
+        self._native = native
+        self.o_size = o_size
+        self._head = b""
+        self._inf = None
+        self._trailer = b""
+        self._adler = 1
+        self._phase = "header"
+        self._eoi = False
+        self.error: str | None = None
+
+    def src(self, data) -> None:
+        data = bytes(data)
+        if not data:
+            self._eoi = True
+        if self._phase == "header":
+            self._head += data
+            if not data and len(self._head) < 2:
+                self.error = "unexpected end of input"
+                self._phase = "bad"
+            return
+        if self._phase == "body":
+            self._inf.src(data)
+            return
+        self._trailer += data
+
+    def _start_body(self) -> str | None:
+        cmf, flg = self._head[0], self._head[1]
+        if (cmf * 256 + flg) % 31 != 0:
+            return "invalid header checksum"
+        if cmf & 0x0F != 8:
+            return "invalid kind of flow"
+        if (cmf >> 4) > 7:
+            return "invalid window"
+        if flg & 0x20:
+            return "unsupported preset dictionary"
+        self._inf = self._streaming.Inflate(self.o_size)
+        rest = self._head[2:]
+        self._head = b""
+        if rest:
+            self._inf.src(rest)
+        return None
+
+    def decode(self) -> str:
+        from .streaming import TOKEN_AWAIT, TOKEN_END, TOKEN_FLUSH, TOKEN_MALFORMED
+
+        if self._phase == "bad":
+            return TOKEN_MALFORMED
+        if self._phase == "header":
+            if len(self._head) < 2:
+                return TOKEN_AWAIT
+            err = self._start_body()
+            if err:
+                self.error = err
+                self._phase = "bad"
+                return TOKEN_MALFORMED
+            self._phase = "body"
+        if self._phase == "body":
+            tok = self._inf.decode()
+            if tok == TOKEN_MALFORMED:
+                self.error = self._inf.error
+                self._phase = "bad"
+                return tok
+            if tok != TOKEN_END:
+                return tok
+            self._trailer = self._inf.remaining_input() + self._trailer
+            self._phase = "trailer"
+        if self._phase == "trailer":
+            if self._inf._out:
+                return TOKEN_FLUSH  # drain output before END
+            if len(self._trailer) < 4:
+                if self._eoi:
+                    self.error = "unexpected end of input"
+                    self._phase = "bad"
+                    return TOKEN_MALFORMED
+                return TOKEN_AWAIT
+            expect = int.from_bytes(self._trailer[:4], "big")
+            if self._adler != expect:
+                self.error = "invalid checksum"
+                self._phase = "bad"
+                return TOKEN_MALFORMED
+            self._phase = "done"
+        return TOKEN_END
+
+    def flush(self) -> bytes:
+        if self._inf is None:
+            return b""
+        out = self._inf.flush()
+        self._adler = self._native.adler32(out, self._adler)
+        return out
+
+
+class Def:
+    """Streaming zlib encoder: CMF/FLG header, segment pipeline,
+    big-endian Adler-32 trailer (zl.ml:494–522)."""
+
+    def __init__(self, level: int = 6, segment_size: int | None = None):
+        from . import native, streaming
+
+        self._native = native
+        self._def = streaming.Deflate(level, segment_size)
+        self._adler = 1
+        cmf = 0x78
+        flg = _flevel(level) << 6
+        rem = (cmf * 256 + flg) % 31
+        if rem:
+            flg += 31 - rem
+        self._pending_header = bytes([cmf, flg])
+
+    def push(self, data) -> bytes:
+        data = bytes(data)
+        self._adler = self._native.adler32(data, self._adler)
+        out = self._pending_header + self._def.push(data)
+        self._pending_header = b""
+        return out
+
+    def finish(self) -> bytes:
+        out = self._pending_header + self._def.finish()
+        self._pending_header = b""
+        return out + self._adler.to_bytes(4, "big")
+
+
+def higher_compress(refill, flush, level: int = 6, i_size: int = de.io_buffer_size) -> None:
+    """camlzip-style compress loop (Zl.Higher parity, zl.ml:633–667):
+    ``refill()`` returns input chunks (b'' = EOF), ``flush(bytes)``
+    consumes output."""
+    enc = Def(level)
+    while True:
+        chunk = refill()
+        if not chunk:
+            break
+        out = enc.push(chunk)
+        if out:
+            flush(out)
+    flush(enc.finish())
+
+
+def higher_uncompress(refill, flush, o_size: int = de.io_buffer_size) -> None:
+    dec = Inf(o_size)
+    while True:
+        tok = dec.decode()
+        if tok == "await":
+            dec.src(refill())
+        elif tok == "flush":
+            flush(dec.flush())
+        elif tok == "end":
+            flush(dec.flush())
+            return
+        else:
+            raise MalformedError(dec.error or "malformed")

@@ -1,0 +1,266 @@
+"""Streaming API tests: Await/Flush protocol, window carry-over across
+segments (config 3), queue-driven encoding, Higher loops.
+
+Parity with the reference streaming suites (test.ml byte-split resume
+tests test.ml:1450–1496, Higher fuzz fuzz.ml:267–327)."""
+
+import gzip
+import io
+import zlib
+
+import numpy as np
+import pytest
+
+from decompress_tpu import de, gz, streaming, zl
+
+
+def chunks(data, size):
+    return [data[i : i + size] for i in range(0, len(data), size)]
+
+
+@pytest.fixture(scope="module")
+def payload():
+    rng = np.random.default_rng(5)
+    return (
+        b"streaming window carry test " * 700
+        + rng.integers(0, 256, 9000, np.uint8).tobytes()
+        + b"streaming window carry test " * 200
+    )
+
+
+def test_streaming_deflate_multi_push(payload):
+    enc = streaming.Deflate(level=6, segment_size=8192)
+    out = b""
+    for c in chunks(payload, 3000):
+        out += enc.push(c)
+    out += enc.finish()
+    assert zlib.decompressobj(-15).decompress(out) == payload
+
+
+def test_streaming_deflate_window_carry():
+    """Matches must cross push/segment boundaries (carry-over window)."""
+    block = bytes(np.random.default_rng(6).integers(0, 256, 4000, np.uint8))
+    data = block * 6
+    enc = streaming.Deflate(level=6, segment_size=4096)
+    out = b""
+    for c in chunks(data, 4096):
+        out += enc.push(c)
+    out += enc.finish()
+    assert zlib.decompressobj(-15).decompress(out) == data
+    assert len(out) < len(block) * 2  # later copies compress via history
+
+
+def test_streaming_inflate_protocol(payload):
+    comp = zlib.compress(payload, 6)[2:-4]
+    inf = streaming.Inflate(o_size=4096)
+    feed = chunks(comp, 997)
+    out = b""
+    fi = 0
+    while True:
+        tok = inf.decode()
+        if tok == "await":
+            inf.src(feed[fi] if fi < len(feed) else b"")
+            fi += 1
+        elif tok == "flush":
+            out += inf.flush()
+        elif tok == "end":
+            out += inf.flush()
+            break
+        else:
+            raise AssertionError(inf.error)
+    assert out == payload
+
+
+def test_streaming_inflate_malformed_token():
+    inf = streaming.Inflate()
+    inf.src(b"\x07")
+    inf.src(b"")
+    assert inf.decode() == "malformed"
+    assert "invalid kind of block" in inf.error
+
+
+def test_zl_streaming_roundtrip(payload):
+    enc = zl.Def(level=6, segment_size=8192)
+    comp = b""
+    for c in chunks(payload, 5000):
+        comp += enc.push(c)
+    comp += enc.finish()
+    assert zlib.decompress(comp) == payload
+
+    dec = zl.Inf(o_size=4096)
+    feed = chunks(comp, 1333)
+    out, fi = b"", 0
+    while True:
+        tok = dec.decode()
+        if tok == "await":
+            dec.src(feed[fi] if fi < len(feed) else b"")
+            fi += 1
+        elif tok == "flush":
+            out += dec.flush()
+        elif tok == "end":
+            out += dec.flush()
+            break
+        else:
+            raise AssertionError(dec.error)
+    assert out == payload
+
+
+def test_zl_streaming_decodes_foreign(payload):
+    comp = zlib.compress(payload, 9)
+    dec = zl.Inf()
+    dec.src(comp)
+    dec.src(b"")
+    out = b""
+    while (tok := dec.decode()) != "end":
+        assert tok == "flush", dec.error
+        out += dec.flush()
+    out += dec.flush()
+    assert out == payload
+
+
+def test_zl_streaming_bad_checksum(payload):
+    comp = bytearray(zlib.compress(payload, 6))
+    comp[-1] ^= 1
+    dec = zl.Inf()
+    dec.src(bytes(comp))
+    dec.src(b"")
+    toks = set()
+    while (tok := dec.decode()) not in ("end", "malformed"):
+        dec.flush()
+        toks.add(tok)
+    assert tok == "malformed"
+    assert dec.error == "invalid checksum"
+
+
+def test_gz_streaming_roundtrip_with_metadata(payload):
+    enc = gz.Def(level=6, segment_size=8192, filename="s.bin", mtime=777,
+                 comment="c", fhcrc=True)
+    comp = b""
+    for c in chunks(payload, 7000):
+        comp += enc.push(c)
+    comp += enc.finish()
+    assert gzip.decompress(comp) == payload
+
+    dec = gz.Inf(o_size=8192)
+    dec.src(comp)
+    dec.src(b"")
+    out = b""
+    while (tok := dec.decode()) != "end":
+        assert tok == "flush", dec.error
+        out += dec.flush()
+    out += dec.flush()
+    assert out == payload
+    assert dec.filename() == "s.bin"
+    assert dec.mtime() == 777
+    assert dec.comment() == "c"
+
+
+def test_gz_streaming_foreign(payload):
+    bio = io.BytesIO()
+    with gzip.GzipFile(fileobj=bio, mode="wb", filename="f") as f:
+        f.write(payload)
+    dec = gz.Inf()
+    dec.src(bio.getvalue())
+    dec.src(b"")
+    out = b""
+    while (tok := dec.decode()) != "end":
+        assert tok == "flush", dec.error
+        out += dec.flush()
+    out += dec.flush()
+    assert out == payload
+
+
+def test_queue_protocol():
+    q = streaming.Queue(64)
+    q.blit(b"ab")
+    q.push_exn(de.cmd_copy(2, 3))
+    q.end_with_eob()
+    assert q.to_list() == [
+        ("literal", ord("a")), ("literal", ord("b")),
+        ("copy", (2, 3)), ("end", None),
+    ]
+    q2 = streaming.Queue.of_list(q.to_list())
+    assert q2.to_list() == q.to_list()
+    assert q2.pop_exn() == ord("a")
+    with pytest.raises(OverflowError):
+        streaming.Queue(2).blit(b"abc")
+
+
+def test_lz77_streaming_matcher():
+    q = streaming.Queue(1 << 14)
+    lz = streaming.Lz77(q, level=6, chunk=4096)
+    data = b"abcdabcdabcd" * 300
+    lz.src(data)
+    lz.src(b"")
+    assert lz.compress() == "end"
+    cmds = [c for c in q._buf]
+    assert de.reconstruct(cmds) == data
+    assert lz.checksum_value == zlib.adler32(data)
+    assert lz.literals.sum() > 0 and lz.distances.sum() > 0
+
+
+def test_encode_commands_roundtrip():
+    """Queue-driven encoder: commands -> block -> zlib decode ==
+    reconstruct (fuzz.ml:169–194 triple-equality strategy)."""
+    rng = np.random.default_rng(7)
+    cmds = []
+    out_len = 0
+    for _ in range(200):
+        if out_len < 4 or rng.random() < 0.6:
+            b = int(rng.integers(0, 256))
+            cmds.append(de.cmd_literal(b))
+            out_len += 1
+        else:
+            off = int(rng.integers(1, min(out_len, 32768) + 1))
+            ln = int(rng.integers(3, 259))
+            cmds.append(de.cmd_copy(off, ln))
+            out_len += ln
+    expect = de.reconstruct(cmds)
+    for block in ("fixed", "dynamic", None):
+        stream = de.encode_commands(cmds, block=block)
+        assert zlib.decompressobj(-15).decompress(stream) == expect
+        assert de.inflate(stream) == expect
+
+
+def test_higher_loops(payload):
+    src = io.BytesIO(payload)
+    comp = io.BytesIO()
+    streaming.higher_compress(lambda: src.read(4096), comp.write, level=6)
+    assert zlib.decompressobj(-15).decompress(comp.getvalue()) == payload
+
+    comp.seek(0)
+    out = io.BytesIO()
+    streaming.higher_uncompress(lambda: comp.read(1024), out.write)
+    assert out.getvalue() == payload
+
+    # zl / gz higher
+    src = io.BytesIO(payload)
+    zcomp = io.BytesIO()
+    zl.higher_compress(lambda: src.read(4096), zcomp.write)
+    assert zlib.decompress(zcomp.getvalue()) == payload
+    zcomp.seek(0)
+    zout = io.BytesIO()
+    zl.higher_uncompress(lambda: zcomp.read(999), zout.write)
+    assert zout.getvalue() == payload
+
+    src = io.BytesIO(payload)
+    gcomp = io.BytesIO()
+    gz.higher_compress(lambda: src.read(4096), gcomp.write, filename="h")
+    assert gzip.decompress(gcomp.getvalue()) == payload
+    gcomp.seek(0)
+    gout = io.BytesIO()
+    meta = gz.higher_uncompress(lambda: gcomp.read(999), gout.write)
+    assert gout.getvalue() == payload and meta.filename == "h"
+
+
+def test_lz_standalone_module():
+    from decompress_tpu import lz
+
+    q = lz.Queue(1 << 14)
+    data = b"standalone lz api " * 100
+    lz.compress_into(q, data)
+    cmds = list(q._buf)
+    assert cmds[-1] == de.CMD_EOB
+    assert de.reconstruct(cmds[:-1]) == data
+    stream = de.encode_commands(cmds[:-1])
+    assert zlib.decompressobj(-15).decompress(stream) == data
