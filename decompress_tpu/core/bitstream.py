@@ -18,7 +18,7 @@ import numpy as np
 def pack_bits(values: np.ndarray, nbits: np.ndarray, *, bit_offset: int = 0) -> tuple[np.ndarray, int]:
     """Pack ``values[i]`` (low ``nbits[i]`` bits, LSB-first) into a byte array.
 
-    Each element must satisfy ``nbits[i] <= 16``.  Returns
+    Each element must satisfy ``nbits[i] <= 31``.  Returns
     ``(bytes_uint8, total_bits)`` where total_bits includes ``bit_offset``
     leading zero bits (useful for appending to a partially filled byte).
 
@@ -28,8 +28,8 @@ def pack_bits(values: np.ndarray, nbits: np.ndarray, *, bit_offset: int = 0) -> 
     """
     values = np.asarray(values, dtype=np.uint64)
     nbits = np.asarray(nbits, dtype=np.int64)
-    if np.any(nbits > 16) or np.any(nbits < 0):
-        raise ValueError("pack_bits supports 0..16 bits per element")
+    if np.any(nbits > 31) or np.any(nbits < 0):
+        raise ValueError("pack_bits supports 0..31 bits per element")
     offsets = bit_offset + np.concatenate([[0], np.cumsum(nbits)[:-1]])
     total = int(bit_offset + nbits.sum())
     nwords = (total + 31) // 32 + 1
@@ -37,7 +37,7 @@ def pack_bits(values: np.ndarray, nbits: np.ndarray, *, bit_offset: int = 0) -> 
     masked = values & ((np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1))
     widx = offsets >> 5
     shift = (offsets & 31).astype(np.uint64)
-    shifted = masked << shift  # <= 16+31 = 47 bits, fits uint64
+    shifted = masked << shift  # <= 31+31 = 62 bits, fits uint64
     np.add.at(words, widx, shifted & np.uint64(0xFFFFFFFF))
     np.add.at(words, widx + 1, shifted >> np.uint64(32))
     out = words.astype(np.uint32).view(np.uint8)  # little-endian words == LSB-first stream

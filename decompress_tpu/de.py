@@ -193,7 +193,10 @@ def stored_cost_bits(n: int, bitpos_in_byte: int) -> int:
 # One-shot deflate.
 # ---------------------------------------------------------------------------
 
-SEGMENT_SIZE = 1 << 17   # 128 KiB payload per device segment
+# Payload bytes per device segment: just under 2^17 so the parallel
+# parse domain (pow2(seg + MAX_MATCH + 1)) stays at 2^17 instead of
+# doubling — the parse costs one gather pass per level per element.
+SEGMENT_SIZE = (1 << 17) - 512
 MAX_DEVICE_BATCH = 8     # segments per device call (memory bound)
 _HDR_PAD = 1024          # padded header slots per segment in the pack call
 
@@ -309,8 +312,9 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
 
     n = arr.size
     b = seg_hi - seg_lo
-    # fixed batch shape: exactly one compiled variant per (level, seg)
-    b_pad = MAX_DEVICE_BATCH
+    # full batches share one compiled variant; the final partial batch
+    # rounds up to a power of two (small set of tail variants)
+    b_pad = MAX_DEVICE_BATCH if b == MAX_DEVICE_BATCH else 1 << (b - 1).bit_length()
     data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
     n_valid = np.zeros(b_pad, dtype=np.int32)
     hist_len = np.zeros(b_pad, dtype=np.int32)
@@ -323,8 +327,9 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
         data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
         data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
 
-    res = lz77_ops.lz77_analyze(
-        jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
+    d_data = jnp.asarray(data)
+    res = lz77_ops.analyze(
+        d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
         level=level, seg_len=seg,
     )
     hist_lit = np.asarray(res["hist_lit"])
@@ -342,15 +347,18 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
     # any packed (non-stored) block beat the stored cost, so < ~9 bits/byte
     out_words = (9 * seg) // 32 + 2 * _HDR_PAD
     words, totals = _pack_segments(
-        res, jnp.asarray(data[:, lz77_ops.HIST :].astype(np.int32)),
+        res, d_data[:, lz77_ops.HIST :],
         jnp.asarray(hdr_vals), jnp.asarray(hdr_bits),
         jnp.asarray(lit_codes), jnp.asarray(lit_bits),
         jnp.asarray(dist_codes), jnp.asarray(dist_bits),
         jnp.asarray(eob_vals), jnp.asarray(eob_bits),
         out_words,
     )
-    words = np.asarray(words)
     totals = np.asarray(totals)
+    # fetch only the words actually used by non-stored segments
+    used = [int(totals[i]) for i in range(b) if kinds[i] != "stored"]
+    cap = (max(used) + 31) // 32 + 1 if used else 0
+    words = np.asarray(words[:, :cap]) if cap else np.zeros((b_pad, 0), np.uint32)
 
     for i in range(b):
         final = (seg_lo + i) == nseg - 1
@@ -391,24 +399,30 @@ def _get_pack_jit():
         dextra = jnp.asarray(DIST_EXTRA)
 
         lcode = lcode_map[jnp.clip(length - MIN_MATCH, 0, 255)]
-        sym = jnp.where(is_match, 257 + lcode, sym_lit)
+        sym = jnp.where(is_match, 257 + lcode, sym_lit.astype(jnp.int32))
         dsym = jnp.where(
             dist <= 256,
             dmap[jnp.clip(dist - 1, 0, 255)],
             dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
         )
 
-        v0 = jnp.take_along_axis(lit_codes, sym, axis=1)
+        # merged slots: (lit/len code | length extra) <= 15+5 bits and
+        # (dist code | dist extra) <= 15+13 bits — two writes per command
+        v0 = jnp.take_along_axis(lit_codes, sym, axis=1).astype(jnp.uint32)
         n0 = jnp.where(on_path, jnp.take_along_axis(lit_bits, sym, axis=1), 0)
         v1 = (length - lbase[lcode]).astype(jnp.uint32)
         n1 = jnp.where(is_match, lextra[lcode], 0)
-        v2 = jnp.take_along_axis(dist_codes, dsym, axis=1)
+        v01 = v0 | (v1 << n0.astype(jnp.uint32))
+        n01 = n0 + n1
+        v2 = jnp.take_along_axis(dist_codes, dsym, axis=1).astype(jnp.uint32)
         n2 = jnp.where(is_match, jnp.take_along_axis(dist_bits, dsym, axis=1), 0)
         v3 = (dist - dbase[dsym]).astype(jnp.uint32)
         n3 = jnp.where(is_match, dextra[dsym], 0)
+        v23 = v2 | (v3 << n2.astype(jnp.uint32))
+        n23 = n2 + n3
 
-        vals = jnp.stack([v0.astype(jnp.uint32), v1, v2.astype(jnp.uint32), v3], axis=2)
-        nbs = jnp.stack([n0, n1, n2, n3], axis=2)
+        vals = jnp.stack([v01, v23], axis=2)
+        nbs = jnp.stack([n01, n23], axis=2)
         bsz = vals.shape[0]
         vals = vals.reshape(bsz, -1)
         nbs = nbs.reshape(bsz, -1)
@@ -535,7 +549,7 @@ def _analyze_one(chunk: bytes, hist: bytes, level: int, seg: int):
     n_valid[0] = n
     hist_len = np.zeros(b_pad, np.int32)
     hist_len[0] = hl
-    res = lz77_ops.lz77_analyze(
+    res = lz77_ops.analyze(
         jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
         level=level, seg_len=seg,
     )

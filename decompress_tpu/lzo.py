@@ -315,7 +315,7 @@ def _analyze(arr: np.ndarray, level: int):
     for lo_seg in range(0, nseg, de.MAX_DEVICE_BATCH):
         hi_seg = min(lo_seg + de.MAX_DEVICE_BATCH, nseg)
         b = hi_seg - lo_seg
-        b_pad = de.MAX_DEVICE_BATCH
+        b_pad = de.MAX_DEVICE_BATCH if b == de.MAX_DEVICE_BATCH else 1 << (b - 1).bit_length()
         data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
         n_valid = np.zeros(b_pad, dtype=np.int32)
         hist_len = np.zeros(b_pad, dtype=np.int32)
@@ -327,7 +327,7 @@ def _analyze(arr: np.ndarray, level: int):
             hist_len[i] = hl
             data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
             data[i, lz77_ops.HIST : lz77_ops.HIST + stop - start] = arr[start:stop]
-        res = lz77_ops.lz77_analyze(
+        res = lz77_ops.analyze(
             jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
             level=level, seg_len=seg,
         )

@@ -25,13 +25,15 @@ import jax.numpy as jnp
 
 @functools.partial(jax.jit, static_argnames=("out_words",))
 def pack_bits_device(values: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
-    """Pack ``values`` (low ``nbits`` each, 0..16) LSB-first.
+    """Pack ``values`` (low ``nbits`` each, 0..31) LSB-first.
 
     values: uint32[..., N]; nbits: int32[..., N].  Returns
-    ``(words uint32[..., out_words], total_bits int32[...])``.  Elements
-    whose cumulative offset exceeds ``32*out_words`` are dropped
-    (callers size ``out_words`` so this only happens when a stored
-    block would win anyway).  Batched dims map over leading axes.
+    ``(words uint32[..., out_words], total_bits int32[...])``.  Any
+    element of <= 31 bits at offset r spans at most two 32-bit words
+    (r%32 + 31 < 64), so the disjoint two-word scatter-OR covers all
+    cases.  Elements whose cumulative offset exceeds ``32*out_words``
+    are dropped (callers size ``out_words`` so this only happens when a
+    stored block would win anyway).  Batched dims map over leading axes.
     """
 
     def one(v, nb):

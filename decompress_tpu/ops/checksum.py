@@ -249,6 +249,37 @@ def crc32_batch(data_2d: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     return out.astype(np.uint32)
 
 
+_CRC_DEV_JIT = None
+
+
+def crc32_batch_device(data_2d, lengths) -> np.ndarray:
+    """Like :func:`crc32_batch` but for a device-resident uint8[M, L]
+    (avoids re-uploading payloads over slow links).  Rows are
+    back-aligned on device with per-row rolls."""
+    global _CRC_DEV_JIT
+    m, l = data_2d.shape
+    p = _ceil_pow2(max((l + CRC_CHUNK - 1) // CRC_CHUNK, 1)) * CRC_CHUNK
+    if _CRC_DEV_JIT is None:
+        @functools.partial(jax.jit, static_argnames=("pad_to",))
+        def dev(d2, lens, pad_to):
+            mm, ll = d2.shape
+            padded = jnp.zeros((mm, pad_to), jnp.uint8).at[:, pad_to - ll :].set(d2)
+            rolled = jax.vmap(lambda row, k: jnp.roll(row, k))(padded, ll - lens)
+            return jax.vmap(_crc32_register_padded)(rolled)
+
+        _CRC_DEV_JIT = dev
+    regs = np.asarray(_CRC_DEV_JIT(data_2d, jnp.asarray(lengths), p))
+    out = np.zeros(m, dtype=np.uint64)
+    lengths = np.asarray(lengths)
+    for i in range(m):
+        n = int(lengths[i])
+        if n == 0:
+            continue
+        init = crc_advance(0xFFFFFFFF, n)
+        out[i] = (init ^ int(regs[i]) ^ 0xFFFFFFFF) & 0xFFFFFFFF
+    return out.astype(np.uint32)
+
+
 ADLER_CHUNK = 512
 
 

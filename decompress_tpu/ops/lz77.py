@@ -4,28 +4,35 @@ TPU-native re-design of the reference's hash-chain matcher
 (`De.Lz77`, de.ml:4013–4515: hash4 de.ml:4055–4071, `longest_match`
 de.ml:4110–4174, lazy matching de.ml:4351–4410) and of `De.Def.Ns`'s
 libdeflate-style matchfinder (de.ml:3111–3124, 3775–3826).  Nothing is
-byte-serial here:
+byte-serial:
 
-* **hash4 of every position at once** — one vectorized multiply/shift
-  (the reference computes the same hash one byte at a time).
+* **hash4 of every position at once** — one vectorized multiply/shift.
 * **candidates via sorted buckets** — sorting ``(hash, pos)`` makes each
   position's K most recent same-hash predecessors its K sorted
-  neighbours: the exact candidate set of a depth-K hash chain, found
-  with shifts instead of pointer chasing.
+  neighbours: the candidate set of a depth-K hash chain, found with
+  shifts instead of pointer chasing.
+* **fingerprint pyramid** — rolling fingerprints of 4/8/16/…/256-byte
+  spans built gather-free by doubling (``F_2L[i] = mix(F_L[i],
+  F_L[i+L])``).  Candidates are scored with two probes (exact 4-byte
+  word + 16-byte fingerprint) and the winner's length is resolved by a
+  doubling LCP descent — O(log MAX_MATCH) probes instead of a linear
+  byte scan (the gather-bandwidth bottleneck on TPU).
+* **exact verification pass** — fingerprints can (rarely) overestimate
+  a length; a single vectorized pass re-checks every *selected* match
+  byte-exactly (compare each covered byte against its source via one
+  gather), and the whole segment falls back to the exact slow config if
+  anything fails, so emitted streams are always byte-correct.
 * **small-distance candidates via associative scans** — run lengths of
-  ``data[i] == data[i-d]`` for d ∈ {1,2,3,4} give exact (up-to-258)
-  lengths for RLE-like matches with no gathers (the analogue of the
-  reference's `fill2` dist-1 fast path, de.ml:186–205).
-* **greedy+lazy parse by a gather-only segment-tree walk** — the parse
-  "which positions emit a command" is the orbit of a strictly
-  increasing jump function; we mark it in O(log n) rounds of pure
-  gathers (exit/entry tables over power-of-two blocks), with no
-  scatters and no sequential walk.
+  ``data[i] == data[i-d]`` for d ∈ {1,2,3,4} give exact lengths for
+  RLE-like matches with no gathers (the reference's `fill2` dist-1
+  fast path, de.ml:186–205).
+* **greedy+lazy parse by a gather-only segment-tree walk** over a
+  payload-sized power-of-two domain — O(log n) rounds of pure gathers,
+  no scatters, no sequential walk.
 
 The 32 KiB history prefix of each segment carries cross-segment match
 context (window parity with the reference's sliding window,
-de.ml:4268–4342) while keeping segments embarrassingly parallel: the
-history is just earlier bytes of the original input.
+de.ml:4268–4342) while keeping segments embarrassingly parallel.
 """
 
 from __future__ import annotations
@@ -51,21 +58,20 @@ class LevelConfig:
     """Per-level tuning, the analogue of de.ml:4021–4049's configuration."""
 
     k_candidates: int   # sorted-bucket candidates (hash-chain depth)
-    probe_words: int    # 4-byte words compared per candidate before ranking
     lazy: bool          # one-step lazy matching
-    ext_rounds: int     # max 8-byte extension rounds for the winner
+    exact: bool = False  # exact linear extension (fallback / max quality)
 
 
 LEVELS: dict[int, LevelConfig] = {
-    1: LevelConfig(2, 2, False, 4),
-    2: LevelConfig(4, 2, False, 8),
-    3: LevelConfig(4, 3, False, 16),
-    4: LevelConfig(8, 4, True, 32),
-    5: LevelConfig(8, 4, True, 32),
-    6: LevelConfig(8, 4, True, 32),
-    7: LevelConfig(16, 4, True, 32),
-    8: LevelConfig(16, 6, True, 32),
-    9: LevelConfig(24, 6, True, 32),
+    1: LevelConfig(2, False),
+    2: LevelConfig(3, False),
+    3: LevelConfig(4, False),
+    4: LevelConfig(6, True),
+    5: LevelConfig(8, True),
+    6: LevelConfig(8, True),
+    7: LevelConfig(12, True),
+    8: LevelConfig(16, True),
+    9: LevelConfig(24, True, True),
 }
 
 
@@ -98,16 +104,33 @@ def _prefix_bytes_equal(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _run_length_scan(eq: jnp.ndarray) -> jnp.ndarray:
-    """r[i] = length of the run of True starting at i (capped naturally).
+def _mix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Combine two span fingerprints into the double-span fingerprint."""
+    h = a ^ ((b << 13) | (b >> 19))
+    return h * jnp.uint32(2654435761)
 
-    Computed as a reversed associative scan with the "count trailing
-    ones" combiner.
+
+#: fingerprint span lengths (powers of two up to MAX_MATCH)
+_FP_SPANS = (4, 8, 16, 32, 64, 128, 256)
+
+
+def _fingerprints(w: jnp.ndarray) -> dict[int, jnp.ndarray]:
+    """F[L][i] = fingerprint of bytes [i, i+L); F[4] is the exact word.
+
+    Built by doubling with static rolls only — no gathers.
     """
+    fp = {4: w}
+    cur = w
+    for span in _FP_SPANS[1:]:
+        cur = _mix(cur, jnp.roll(cur, -(span // 2)))
+        fp[span] = cur
+    return fp
+
+
+def _run_length_scan(eq: jnp.ndarray) -> jnp.ndarray:
+    """r[i] = length of the run of True starting at i."""
     x = eq.astype(jnp.int32)[::-1]
 
-    # monoid: (trailing-ones count, is-all-ones); combine(left, right) is
-    # the concatenation left·right
     def combine(a, b):
         run_a, full_a = a
         run_b, full_b = b
@@ -121,12 +144,14 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
     """Best match (length, dist) at every position of one segment.
 
     data_u8: uint8[T]; valid data occupies [valid_lo, valid_hi).
-    Returns (length int32[T], dist int32[T]) with length < MIN_MATCH
-    where no acceptable match exists.
+    Returns (length int32[T], dist int32[T]); length < MIN_MATCH means
+    no match.  Lengths from fingerprint descent may overestimate on
+    fingerprint collision — callers run the exact verification pass.
     """
     t = data_u8.shape[0]
     pos = jnp.arange(t, dtype=jnp.int32)
     w = _u32_words(data_u8)
+    fp = _fingerprints(w)
 
     h = ((w * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
 
@@ -150,52 +175,68 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
         & (pos[:, None] < valid_hi)
     )
 
-    # ---- probe first 4*probe_words bytes of each candidate ----
-    probe_len = jnp.zeros(cand.shape, jnp.int32)
-    alive = ok
-    safe_cand = jnp.maximum(cand, 0)
-    for j in range(cfg.probe_words):
-        gj = w[jnp.minimum(safe_cand + 4 * j, t - 1)]
-        wj = jnp.roll(w, -4 * j)[:, None] if j else w[:, None]
-        eq = _prefix_bytes_equal(gj ^ jnp.broadcast_to(wj, gj.shape))
-        probe_len = probe_len + jnp.where(alive, eq, 0)
-        alive = alive & (eq == 4)
-
-    # best candidate: longest probe, then nearest
-    score = (probe_len << 17) - dist
-    score = jnp.where(ok, score, jnp.int32(-(1 << 30)))
-    best_k = jnp.argmax(score, axis=1)
-    blen = jnp.take_along_axis(probe_len, best_k[:, None], axis=1)[:, 0]
-    bcand = jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0]
-    bok = jnp.take_along_axis(ok, best_k[:, None], axis=1)[:, 0]
-    bdist = pos - bcand
-
-    # ---- extend the winner in 8-byte rounds (while any lane continues) ----
-    probe_bytes = 4 * cfg.probe_words
-
-    def ext_cond(state):
-        rnd, _, alive_mask = state
-        return (rnd < cfg.ext_rounds) & jnp.any(alive_mask)
-
-    def ext_body(state):
-        rnd, length, alive_mask = state
-        off = probe_bytes + rnd * 8
-        added = jnp.zeros(t, jnp.int32)
-        a2 = alive_mask
-        for half in range(2):
-            o = off + 4 * half
-            gj = w[jnp.minimum(jnp.maximum(bcand, 0) + o, t - 1)]
-            wj = w[jnp.minimum(pos + o, t - 1)]
-            eq = _prefix_bytes_equal(gj ^ wj)
-            added = added + jnp.where(a2, eq, 0)
-            a2 = a2 & (eq == 4)
-        return rnd + 1, length + added, a2
-
-    alive0 = bok & (blen == probe_bytes)
-    _, full_len, _ = jax.lax.while_loop(
-        ext_cond, ext_body, (jnp.int32(0), blen, alive0)
+    # ---- graded scoring: exact 0..4-byte prefix + 8/16/64-byte
+    # fingerprint probes (a 0..68 length proxy, 4 gathers/candidate) ----
+    safe = jnp.maximum(cand, 0)
+    g4 = w[safe]
+    x4 = g4 ^ w[:, None]
+    plen4 = _prefix_bytes_equal(x4)
+    len4 = (x4 == 0) & ok
+    # second exact word: precise grading over the 4..8-byte range where
+    # most text matches live
+    g8 = jnp.roll(w, -4)[jnp.minimum(safe, t - 1)]
+    x8 = g8 ^ jnp.roll(w, -4)[:, None]
+    plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
+    len8 = len4 & (x8 == 0)
+    eq16 = (fp[16][safe] == fp[16][:, None]) & len8
+    eq64 = (fp[64][safe] == fp[64][:, None]) & eq16
+    grade = (
+        jnp.where(ok, plen4, 0)
+        + plen8
+        + jnp.where(eq16, 8, 0)
+        + jnp.where(eq64, 48, 0)
     )
-    length = jnp.where(bok, full_len, 0)
+    usable = ok & (plen4 >= 3)
+    score = (grade << 17) - dist
+    score = jnp.where(usable, score, jnp.int32(-(1 << 30)))
+    best_k = jnp.argmax(score, axis=1)
+    busable = jnp.take_along_axis(usable, best_k[:, None], axis=1)[:, 0]
+    bp4 = jnp.take_along_axis(plen4, best_k[:, None], axis=1)[:, 0]
+    bcand = jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0]
+    bdist = pos - bcand
+    has = busable
+    btier = jnp.where(bp4 >= 4, 2, 1)  # 1 = exactly-3-byte candidate
+    bsafe = jnp.where(has, bcand, 0)
+
+    if cfg.exact:
+        # exact linear extension in 4-byte steps (level 9 / fallback)
+        length = jnp.where(has, jnp.int32(0), 0)
+        alive = has
+        for off in range(0, MAX_MATCH + 4, 4):
+            gj = w[jnp.minimum(bsafe + off, t - 1)]
+            wj = w[jnp.minimum(pos + off, t - 1)]
+            eq = _prefix_bytes_equal(gj ^ wj)
+            length = length + jnp.where(alive, eq, 0)
+            alive = alive & (eq == 4)
+    else:
+        # doubling LCP descent over the fingerprint pyramid.
+        # spans 4 and the final refine are exact; larger spans are
+        # fingerprints (verified later).
+        length = jnp.zeros(t, jnp.int32)
+        for span in (256, 128, 64, 32, 16, 8, 4):
+            idx_c = jnp.minimum(bsafe + length, t - 1)
+            idx_i = jnp.minimum(pos + length, t - 1)
+            f = fp[span]
+            eq = (f[idx_c] == f[idx_i]) & has & (length + span <= MAX_MATCH + 4)
+            length = length + jnp.where(eq, span, 0)
+        # final 0..3 byte refine with the exact word
+        idx_c = jnp.minimum(bsafe + length, t - 1)
+        idx_i = jnp.minimum(pos + length, t - 1)
+        rem = _prefix_bytes_equal(w[idx_c] ^ w[idx_i])
+        length = length + jnp.where(has, jnp.minimum(rem, 3), 0)
+        # tier-1 candidates matched only 3 bytes
+        length = jnp.where(has & (btier == 1) & (length < 3), 3, length)
+        length = jnp.where(has, length, 0)
 
     # ---- exact small-distance (RLE-ish) candidates via scans ----
     for d in (1, 2, 3, 4):
@@ -216,12 +257,11 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
     return length, bdist
 
 
-def _mark_path(g: jnp.ndarray, start: int, levels: int) -> jnp.ndarray:
+def _mark_path(g: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Positions visited by iterating the strictly increasing jump ``g``
-    from ``start``: gather-only exit/entry tables over 2^k blocks.
+    from 0: gather-only exit/entry tables over 2^k blocks.
 
-    g: int32[P] with P = 2^levels and start <= g[i] < P for i >= start.
-    Returns bool[P].
+    g: int32[P] with P = 2^levels, i < g[i] < P.  Returns bool[P].
     """
     p = g.shape[0]
     idx = jnp.arange(p, dtype=jnp.int32)
@@ -232,7 +272,7 @@ def _mark_path(g: jnp.ndarray, start: int, levels: int) -> jnp.ndarray:
         e1 = prev
         exits.append(jnp.where(e1 >= end_k, e1, prev[jnp.minimum(e1, p - 1)]))
     # top-down entry values: first walk value >= start of i's level-k block
-    entry = jnp.full(p, start, jnp.int32)
+    entry = jnp.zeros(p, jnp.int32)
     for k in range(levels - 1, -1, -1):
         blk = idx >> k
         is_right = (blk & 1) == 1
@@ -242,20 +282,61 @@ def _mark_path(g: jnp.ndarray, start: int, levels: int) -> jnp.ndarray:
     return entry == idx
 
 
-@functools.partial(jax.jit, static_argnames=("level", "seg_len"))
-def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int):
+def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n):
+    """Exact check of every selected match: each covered byte must equal
+    its source byte.  Returns True iff the whole segment is exact.
+
+    Interval trick: matches never overlap (the parse is a partition),
+    so the covering match of payload position j is the one whose start
+    is the running maximum of match starts at or before j.
+    """
+    posn = jnp.arange(seg_len, dtype=jnp.int32)
+    start = jnp.where(is_match, posn, -1)
+    cov_start = jax.lax.cummax(start)
+    safe_start = jnp.maximum(cov_start, 0)
+    cov_len = length[safe_start]
+    cov_dist = dist[safe_start]
+    covered = (cov_start >= 0) & (posn < safe_start + cov_len) & (posn < n)
+    payload = data_u8[HIST : HIST + seg_len]
+    src_idx = jnp.maximum(HIST + posn - cov_dist, 0)
+    eq = payload == data_u8[src_idx]
+    return jnp.all(jnp.where(covered, eq, True))
+
+
+def analyze(data, n_valid, hist_len, *, level: int, seg_len: int):
+    """Host wrapper around :func:`lz77_analyze` that retries with the
+    exact-extension configuration when the verification pass reports a
+    fingerprint overestimate (roughly a once-per-hundreds-of-MB event);
+    results are therefore always byte-exact."""
+    res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len)
+    if LEVELS[level].exact:
+        return res
+    if bool(np.asarray(res["exact"]).all()):
+        return res
+    return lz77_analyze(
+        data, n_valid, hist_len, level=level, seg_len=seg_len, force_exact=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("level", "seg_len", "force_exact"))
+def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
+                 force_exact: bool = False):
     """Match-find + parse a batch of segments.
 
     data: uint8[B, HIST + seg_len] — 32 KiB history prefix then payload
-      (zero padded); n_valid: int32[B] payload bytes; hist_len: int32[B]
-      valid history bytes.
+    (zero padded); n_valid: int32[B] payload bytes; hist_len: int32[B]
+    valid history bytes.
     Returns per-position arrays over the payload ([B, seg_len]):
-      on_path (emit a command here), is_match, length, dist, and
-      histograms hist_lit[B, 286] (EOB not included), hist_dist[B, 30].
+    on_path, is_match, length, dist, histograms hist_lit[B, 286]
+    (EOB not included), hist_dist[B, 30], and exact[B] (False means
+    a fingerprint overestimated somewhere: re-run with the exact
+    config — the de driver handles this).
     """
     cfg = LEVELS[level]
+    if force_exact and not cfg.exact:
+        cfg = LevelConfig(cfg.k_candidates, cfg.lazy, True)
     t = HIST + seg_len
-    p = _ceil_pow2(t + MAX_MATCH + 1)
+    p = _ceil_pow2(seg_len + MAX_MATCH + 1)
     levels = p.bit_length() - 1
 
     def one(seg, n, hl):
@@ -272,19 +353,26 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int):
             defer = nxt_len > length
         else:
             defer = jnp.zeros(t, bool)
-        take = (length >= MIN_MATCH) & ~defer
+        take_full = (length >= MIN_MATCH) & ~defer
 
-        step = jnp.where(take, length, 1)
-        g = jnp.minimum(jnp.arange(p, dtype=jnp.int32) + 1, p - 1)
-        g = g.at[:t].set(jnp.minimum(posn + step, p - 1))
-        on_path_full = _mark_path(g, HIST, levels)
-
-        on_path = on_path_full[HIST : HIST + seg_len] & (
-            jnp.arange(seg_len, dtype=jnp.int32) < n
+        # parse over the payload-only domain [0, P)
+        take = take_full[HIST:t]
+        plen = length[HIST:t]
+        ppos = jnp.arange(p, dtype=jnp.int32)
+        g = jnp.minimum(ppos + 1, p - 1)
+        step = jnp.where(take, plen, 1)
+        g = g.at[:seg_len].set(
+            jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p - 1)
         )
-        is_match = on_path & take[HIST:t]
-        mlen = jnp.where(is_match, length[HIST:t], 0)
+        on_path_full = _mark_path(g, levels)
+
+        pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+        on_path = on_path_full[:seg_len] & (pay_idx < n)
+        is_match = on_path & take
+        mlen = jnp.where(is_match, plen, 0)
         mdist = jnp.where(is_match, dist[HIST:t], 0)
+
+        exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n)
 
         lcode = jnp.asarray(tables.LENGTH_CODE_MAP)[
             jnp.clip(mlen - MIN_MATCH, 0, 255)
@@ -311,6 +399,7 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int):
             dist=mdist,
             hist_lit=hist_lit,
             hist_dist=hist_dist,
+            exact=exact,
         )
 
     return jax.vmap(one)(data, n_valid, hist_len)

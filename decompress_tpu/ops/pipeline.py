@@ -76,18 +76,20 @@ def fixed_deflate_segments(
         dmap[jnp.clip(dist - 1, 0, 255)],
         dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
     )
-    v0 = lit_code_j[sym]
+    v0 = lit_code_j[sym].astype(jnp.uint32)
     n0 = jnp.where(on_path, lit_len_j[sym], 0)
     v1 = (length - lbase[lcode]).astype(jnp.uint32)
     n1 = jnp.where(is_match, lextra[lcode], 0)
-    v2 = dist_code_j[dsym]
+    v2 = dist_code_j[dsym].astype(jnp.uint32)
     n2 = jnp.where(is_match, dist_len_j[dsym], 0)
     v3 = (dist - dbase[dsym]).astype(jnp.uint32)
     n3 = jnp.where(is_match, dextra[dsym], 0)
+    v01 = v0 | (v1 << n0.astype(jnp.uint32))
+    v23 = v2 | (v3 << n2.astype(jnp.uint32))
 
     b = data.shape[0]
-    vals = jnp.stack([v0, v1, v2, v3], axis=2).reshape(b, -1)
-    nbs = jnp.stack([n0, n1, n2, n3], axis=2).reshape(b, -1)
+    vals = jnp.stack([v01, v23], axis=2).reshape(b, -1)
+    nbs = jnp.stack([n0 + n1, n2 + n3], axis=2).reshape(b, -1)
 
     # header (BFINAL, BTYPE=01) and trailing EOB
     hdr_vals = jnp.concatenate(

@@ -8,6 +8,7 @@ sharding, order-preserving gather, and associative checksum combine.
 from .sharded import (  # noqa: F401
     make_mesh,
     sharded_gzip_compress,
+    sharded_gzip_decompress,
     sharded_zlib_compress,
     compress_step_sharded,
 )

@@ -97,32 +97,37 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
     for lo in range(0, m, chunk):
         hi = min(lo + chunk, m)
         b = hi - lo
-        cdata = np.zeros((chunk, data.shape[1]), dtype=np.uint8)
+        b_pad = chunk if b == chunk else max(d, 1 << (b - 1).bit_length())
+        cdata = np.zeros((b_pad, data.shape[1]), dtype=np.uint8)
         cdata[:b] = data[lo:hi]
-        cnv = np.zeros(chunk, np.int32)
+        cnv = np.zeros(b_pad, np.int32)
         cnv[:b] = n_valid[lo:hi]
-        chl = np.zeros(chunk, np.int32)
+        chl = np.zeros(b_pad, np.int32)
 
         d_data = _shard_batch(cdata, mesh)
         d_nv = _shard_batch(cnv, mesh)
         d_hl = _shard_batch(chl, mesh)
 
-        res = lz77.lz77_analyze(d_data, d_nv, d_hl, level=level, seg_len=member_size)
+        res = lz77.analyze(d_data, d_nv, d_hl, level=level, seg_len=member_size)
         hist_lit = np.asarray(res["hist_lit"])[:b]
         hist_dist = np.asarray(res["hist_dist"])[:b]
 
         hdr, tabs, kinds = de.plan_blocks(
-            hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=chunk
+            hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=b_pad
         )
         words, totals = de._pack_segments(
-            res, _shard_batch(cdata[:, hist:].astype(np.int32), mesh),
+            res, d_data[:, hist:],
             *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
             out_words,
         )
-        words = np.asarray(words)[:b]
         totals = np.asarray(totals)[:b]
+        used = [int(totals[i]) for i in range(b) if kinds[i] != "stored"]
+        cap = (max(used) + 31) // 32 + 1 if used else 0
+        words = np.asarray(words[:b, :cap]) if cap else np.zeros((b, 0), np.uint32)
         if want_crc:
-            crcs_all.extend(checksum.crc32_batch(cdata[:b, hist:], cnv[:b]))
+            crcs_all.extend(
+                checksum.crc32_batch_device(d_data[:, hist:], cnv)[:b]
+            )
 
         for i in range(b):
             if kinds[i] == "stored":
@@ -133,45 +138,183 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
     return parts, n_valid, (np.array(crcs_all) if want_crc else None)
 
 
+INDEX_ID = b"TZ"  # gzip FEXTRA subfield carrying member byte sizes
+
+
 def sharded_gzip_compress(
     data,
     level: int = 6,
     *,
-    member_size: int = 1 << 17,
+    member_size: int = de.SEGMENT_SIZE,
     mesh=None,
     mtime: int = 0,
     os=gz.OS.default(),
+    index: bool = True,
 ) -> bytes:
     """Multi-member gzip archive, members compressed data-parallel.
 
     Byte-identical output for any mesh size; decodable by any gzip
-    (including the reference `decompress -fgzip -d`).
+    (including the reference `decompress -fgzip -d`).  With ``index``
+    (default), the first member carries a standard FEXTRA subfield
+    listing member byte sizes so :func:`sharded_gzip_decompress` can
+    decode all members in parallel; foreign tools ignore it.
     """
     arr = de._np_u8(data)
     if arr.size == 0:
         return gz.compress(b"", level)
     parts, n_valid, crcs = _compress_members(arr, level, member_size, mesh)
-    out = []
+    m = len(parts)
+
     head = b"\x1f\x8b\x08\x00" + (mtime & 0xFFFFFFFF).to_bytes(4, "little") \
         + bytes([gz._xfl(level), int(os)])
-    for i, part in enumerate(parts):  # order-preserving: by member index
-        out.append(head)
+    bodies = []
+    for part in parts:
         w = bitstream.BitWriter()
         if part[0] == "stored":
             de._emit_stored(w, part[1], final=True)
         else:
             w.write_packed(part[1], part[2])
-        out.append(w.getvalue())
+        bodies.append(w.getvalue())
+
+    use_index = index and m <= (65531 - 8) // 4
+    out = []
+    if use_index:
+        sizes = [len(head) + len(b) + 8 for b in bodies]
+        xdata_len = 4 + 4 * m
+        sizes[0] += 2 + 4 + xdata_len  # first member grows by the FEXTRA
+        xfield = INDEX_ID + xdata_len.to_bytes(2, "little") \
+            + m.to_bytes(4, "little") \
+            + b"".join(s.to_bytes(4, "little") for s in sizes)
+        head0 = bytearray(head)
+        head0[3] |= gz._FEXTRA
+        head0 += len(xfield).to_bytes(2, "little") + xfield
+        heads = [bytes(head0)] + [head] * (m - 1)
+    else:
+        heads = [head] * m
+    for i in range(m):  # order-preserving: by member index
+        out.append(heads[i])
+        out.append(bodies[i])
         out.append(int(crcs[i]).to_bytes(4, "little"))
         out.append(int(int(n_valid[i]) & 0xFFFFFFFF).to_bytes(4, "little"))
     return b"".join(out)
+
+
+def sharded_gzip_decompress(archive) -> bytes:
+    """Member-parallel decode of an indexed archive (device batch
+    inflate); falls back to the serial path when the index is absent or
+    a member isn't device-decodable."""
+    buf = de._np_u8(archive)
+    try:
+        sizes = _read_index(buf)
+    except (gz.MalformedError, ValueError):
+        sizes = None
+    if sizes is None:
+        return gz.decompress(buf)
+    from ..ops import inflate as inflate_ops
+
+    members = []
+    off = 0
+    for s in sizes:
+        members.append(buf[off : off + s])
+        off += s
+    if off != buf.size:
+        return gz.decompress(buf)
+
+    metas = []
+    try:
+        for mem in members:
+            body_off = gz._header_end(mem)
+            if body_off is None:
+                raise inflate_ops.NotParallelizable("bad header")
+            body = mem[body_off:-8]
+            crc = int.from_bytes(mem[-8:-4].tobytes(), "little")
+            isize = int.from_bytes(mem[-4:].tobytes(), "little")
+            lit, dist, start = inflate_ops.prepare_member(body)
+            metas.append((body, lit, dist, start, crc, isize))
+    except (inflate_ops.NotParallelizable, de.MalformedError):
+        return gz.decompress(buf)
+
+    import jax.numpy as jnp
+
+    m = len(metas)
+    out_len = _ceil_pow2_int(max(t[5] for t in metas))
+    wmax = _ceil_pow2_int(max(t[0].size for t in metas) // 4 + 4)
+    b_pad = _ceil_pow2_int(m)
+    words = np.zeros((b_pad, wmax), np.uint32)
+    start_bits = np.zeros(b_pad, np.int32)
+    lits = np.tile(np.array([huffman_invalid()], np.int32), (b_pad, inflate_ops.MAX_TABLE))
+    dists = np.tile(np.array([huffman_invalid()], np.int32), (b_pad, inflate_ops.DIST_TABLE))
+    for i, (body, lit, dist, start, _, _) in enumerate(metas):
+        bw = np.zeros(wmax * 4, np.uint8)
+        bw[: body.size] = body
+        words[i] = bw.view("<u4")
+        start_bits[i] = start
+        lits[i] = lit
+        dists[i] = dist
+    # degenerate tables for padding rows decode "end" immediately? give
+    # them a fixed-tree EOB stream instead: simplest is zero bits with
+    # invalid tables; their results are discarded.
+    kinds, values, dvals, ok = inflate_ops.decode_symbols(
+        jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(lits),
+        jnp.asarray(dists), max_cmds=out_len + 2,
+    )
+    if not bool(np.asarray(ok)[:m].all()):
+        return gz.decompress(buf)
+    payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
+    lengths = np.asarray(lengths)
+
+    from ..ops import checksum as checksum_ops
+
+    crcs = checksum_ops.crc32_batch_device(payload, np.asarray(lengths))
+    payload = np.asarray(payload)
+    out = []
+    for i, (_, _, _, _, crc, isize) in enumerate(metas):
+        if int(lengths[i]) != isize or int(crcs[i]) != crc:
+            return gz.decompress(buf)  # checksum mismatch: trust serial path
+        out.append(payload[i, :isize].tobytes())
+    return b"".join(out)
+
+
+def _ceil_pow2_int(n: int) -> int:
+    p = 1
+    while p < max(n, 1):
+        p *= 2
+    return p
+
+
+def huffman_invalid() -> int:
+    from ..core import huffman
+
+    return huffman.ENTRY_INVALID
+
+
+def _read_index(buf: np.ndarray) -> list[int] | None:
+    """Member sizes from the first member's FEXTRA index, or None."""
+    if buf.size < 12 or buf[0] != 0x1F or buf[1] != 0x8B:
+        raise gz.MalformedError("invalid header")
+    if not (int(buf[3]) & gz._FEXTRA):
+        return None
+    xlen = int.from_bytes(buf[10:12].tobytes(), "little")
+    field = buf[12 : 12 + xlen].tobytes()
+    i = 0
+    while i + 4 <= len(field):
+        sid = field[i : i + 2]
+        ln = int.from_bytes(field[i + 2 : i + 4], "little")
+        if sid == INDEX_ID:
+            data = field[i + 4 : i + 4 + ln]
+            m = int.from_bytes(data[:4], "little")
+            if len(data) != 4 + 4 * m:
+                return None
+            return [int.from_bytes(data[4 + 4 * k : 8 + 4 * k], "little") for k in range(m)]
+        i += 4 + ln
+    return None
 
 
 def sharded_zlib_compress(
     data,
     level: int = 6,
     *,
-    member_size: int = 1 << 17,
+    member_size: int = de.SEGMENT_SIZE,
     mesh=None,
 ) -> bytes:
     """One zlib stream compressed data-parallel.
