@@ -1,13 +1,16 @@
 """Benchmark harness: end-to-end codec throughput on real hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline targets (BASELINE.md): deflate >= 0.5 GB/s/chip,
-inflate >= 1 GB/s/chip.  The headline metric is the geometric mean of
-(deflate/0.5, inflate/1.0) once both paths exist; currently deflate.
+Baseline targets (BASELINE.md): deflate >= 0.5 GB/s/chip, inflate
+>= 1 GB/s/chip; ``vs_baseline`` is the geometric mean of the two
+ratios.  Methodology mirrors the reference bench (bench/b.ml:11–24):
+median of N repetitions, Calgary+rfc5322 corpus replicated, byte-exact
+verification against the stdlib oracle every run.
 
-Methodology mirrors the reference bench (bench/b.ml:11–24): median of
-N repetitions, corpus = Calgary + rfc5322 replicated to steady-state
-size, byte-exact verification against the stdlib oracle each run.
+Caveat recorded in "extra": this environment reaches the TPU through a
+network tunnel with ~10–25 MB/s host<->device bandwidth and ~36 ms
+per-dispatch latency, which caps *end-to-end* numbers far below kernel
+throughput; see BASELINE.md for the breakdown.
 """
 
 import argparse
@@ -18,58 +21,78 @@ import sys
 import time
 
 
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size-mb", type=int, default=4)
-    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--size-mb", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--level", type=int, default=6)
-    ap.add_argument("--member-kb", type=int, default=128)
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     corpus_dir = pathlib.Path(__file__).parent / "tests" / "corpus"
     base = b"".join(p.read_bytes() for p in sorted(corpus_dir.iterdir()))
-    reps_needed = max(1, (args.size_mb * (1 << 20)) // len(base))
+    reps_needed = max(1, -(-(args.size_mb << 20) // len(base)))
     data = (base * reps_needed)[: args.size_mb << 20]
 
-    from decompress_tpu.parallel import sharded_gzip_compress
+    from decompress_tpu.parallel import (
+        sharded_gzip_compress,
+        sharded_gzip_decompress,
+    )
 
-    member = args.member_kb << 10
-
-    # warmup / compile
+    # --- deflate ---
     t0 = time.time()
-    comp = sharded_gzip_compress(data, args.level, member_size=member)
-    warm = time.time() - t0
-    assert _gzip.decompress(comp) == data, "roundtrip mismatch"
-
-    times = []
+    arch = sharded_gzip_compress(data, args.level)
+    warm_c = time.time() - t0
+    assert _gzip.decompress(arch) == data, "compress roundtrip mismatch"
+    ct = []
     for _ in range(args.reps):
         t0 = time.time()
-        comp = sharded_gzip_compress(data, args.level, member_size=member)
-        times.append(time.time() - t0)
-    times.sort()
-    med = times[len(times) // 2]
-    gbps = len(data) / med / 1e9
-    ratio = len(comp) / len(data)
+        arch = sharded_gzip_compress(data, args.level)
+        ct.append(time.time() - t0)
+    c_gbps = len(data) / _median(ct) / 1e9
+
+    # --- inflate (member-parallel device decode) ---
+    t0 = time.time()
+    out = sharded_gzip_decompress(arch)
+    warm_d = time.time() - t0
+    assert out == data, "decompress mismatch"
+    dt = []
+    for _ in range(args.reps):
+        t0 = time.time()
+        out = sharded_gzip_decompress(arch)
+        dt.append(time.time() - t0)
+    d_gbps = len(data) / _median(dt) / 1e9
+
+    ratio = len(arch) / len(data)
+    vs = ((c_gbps / 0.5) * (d_gbps / 1.0)) ** 0.5
+    value = (c_gbps * d_gbps) ** 0.5
 
     if args.verbose:
         print(
-            f"# warmup {warm:.1f}s, times {['%.3f' % t for t in times]}, "
-            f"ratio {ratio:.4f}, {len(data)} -> {len(comp)} bytes",
+            f"# warm compile: c={warm_c:.1f}s d={warm_d:.1f}s | "
+            f"deflate {c_gbps*1e3:.2f} MB/s, inflate {d_gbps*1e3:.2f} MB/s, "
+            f"ratio {ratio:.4f}",
             file=sys.stderr,
         )
     print(
         json.dumps(
             {
-                "metric": "gzip_deflate_throughput",
-                "value": round(gbps, 4),
+                "metric": "gzip_codec_throughput_geomean",
+                "value": round(value, 6),
                 "unit": "GB/s/chip",
-                "vs_baseline": round(gbps / 0.5, 4),
+                "vs_baseline": round(vs, 6),
                 "extra": {
+                    "deflate_GBps": round(c_gbps, 6),
+                    "inflate_GBps": round(d_gbps, 6),
                     "ratio": round(ratio, 4),
                     "level": args.level,
                     "size_mb": args.size_mb,
-                    "median_s": round(med, 4),
+                    "note": "host<->TPU tunnel ~10-25MB/s bounds end-to-end",
                 },
             }
         )
