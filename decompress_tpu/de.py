@@ -464,6 +464,17 @@ def reconstruct(cmds: list[int]) -> bytes:
     return bytes(out)
 
 
+def encode_blocks(blocks: list, *, final: bool = True) -> bytes:
+    """Encode a sequence of (cmds, kind) pairs as chained DEFLATE blocks
+    (kind: 'fixed' | 'dynamic' | None for cost choice) — exercises
+    block transitions like the reference matrix tests (test.ml:911–1135)."""
+    w = bitstream.BitWriter()
+    for bi, (cmds, kind) in enumerate(blocks):
+        last = final and bi == len(blocks) - 1
+        _encode_one_block(w, cmds, kind, last)
+    return w.getvalue()
+
+
 def encode_commands(cmds: list[int], *, block: str | None = None,
                     final: bool = True) -> bytes:
     """Entropy-encode a command list as one DEFLATE block (host path).
@@ -473,6 +484,13 @@ def encode_commands(cmds: list[int], *, block: str | None = None,
     finder.  ``block`` forces 'fixed' or 'dynamic' (default: exact cost
     choice, de.ml:2415–2449).
     """
+    w = bitstream.BitWriter()
+    _encode_one_block(w, cmds, block, final)
+    return w.getvalue()
+
+
+def _encode_one_block(w: bitstream.BitWriter, cmds: list[int],
+                      block: str | None, final: bool) -> None:
     cmds = [c for c in cmds if c != CMD_EOB]
     hist_lit = np.zeros(NUM_LIT_SYMS, dtype=np.int64)
     hist_dist = np.zeros(NUM_DIST_SYMS, dtype=np.int64)
@@ -501,7 +519,6 @@ def encode_commands(cmds: list[int], *, block: str | None = None,
     cost_fix = symbol_cost_bits(hist_lit, hist_dist, _FIXED_LIT_BITS, _FIXED_DIST_BITS)
     kind = block or ("fixed" if cost_fix <= cost_dyn else "dynamic")
 
-    w = bitstream.BitWriter()
     w.write(1 if final else 0, 1)
     if kind == "fixed":
         w.write(1, 2)
@@ -526,7 +543,6 @@ def encode_commands(cmds: list[int], *, block: str | None = None,
             w.write(int(dc[dcode]), int(dl[dcode]))
             w.write(off - int(DIST_BASE[dcode]), int(DIST_EXTRA[dcode]))
     w.write(int(lc[EOB]), int(ll[EOB]))
-    return w.getvalue()
 
 
 def _analyze_one(chunk: bytes, hist: bytes, level: int, seg: int):
