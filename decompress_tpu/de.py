@@ -221,8 +221,12 @@ def _emit_stored(w: bitstream.BitWriter, payload: np.ndarray, final: bool) -> No
         w.write_bytes(payload[lo:hi])
 
 
-def deflate(data, level: int = 6, *, segment_size: int | None = None) -> bytes:
-    """One-shot DEFLATE compress (TPU pipeline; level 0 = stored)."""
+def deflate(data, level: int = 6, *, segment_size: int | None = None,
+            dynamic: bool = True) -> bytes:
+    """One-shot DEFLATE compress (TPU pipeline; level 0 = stored).
+
+    ``dynamic=False`` forces fixed-Huffman blocks (the reference
+    Zl.Def ``~dynamic`` knob, zl.ml:560)."""
     arr = _np_u8(data)
     n = arr.size
     w = bitstream.BitWriter()
@@ -243,11 +247,13 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None) -> bytes:
     nseg = (n + seg - 1) // seg
     for lo in range(0, nseg, MAX_DEVICE_BATCH):
         hi = min(lo + MAX_DEVICE_BATCH, nseg)
-        _deflate_segments(w, arr, lo, hi, nseg, level, seg, lz77_ops)
+        _deflate_segments(w, arr, lo, hi, nseg, level, seg, lz77_ops,
+                          force_block=None if dynamic else "fixed")
     return w.getvalue()
 
 
-def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None):
+def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None,
+                force_block=None):
     """Host planning for a batch of blocks: choose stored/fixed/dynamic
     per block (exact 3-way cost, de.ml:3620–3692 semantics), build the
     Huffman code tables and serialized headers for the device packer.
@@ -279,10 +285,10 @@ def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None):
         cost_fix = 3 + symbol_cost_bits(hl, hd, _FIXED_LIT_BITS, _FIXED_DIST_BITS)
         cost_sto = stored_cost_bits(int(n_valid[i]), 0)
 
-        if cost_sto < min(cost_dyn, cost_fix):
+        if force_block is None and cost_sto < min(cost_dyn, cost_fix):
             kinds.append("stored")
             continue
-        if cost_fix <= cost_dyn:
+        if force_block == "fixed" or (force_block is None and cost_fix <= cost_dyn):
             kinds.append("fixed")
             ll, dl = tables.FIXED_LIT_LENGTHS, tables.FIXED_DIST_LENGTHS[:30]
             pairs = [(1 if final else 0, 1), (1, 2)]
@@ -307,7 +313,8 @@ def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None):
     return (hdr_vals, hdr_bits), tabs, kinds
 
 
-def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
+def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops,
+                      force_block=None):
     import jax.numpy as jnp
 
     n = arr.size
@@ -340,7 +347,8 @@ def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops):
         [(seg_lo + i) == nseg - 1 for i in range(b)], dtype=bool
     )
     (hdr_vals, hdr_bits), tabs, kinds = plan_blocks(
-        hist_lit[:b], hist_dist[:b], n_valid[:b], final_flags, pad_to=b_pad
+        hist_lit[:b], hist_dist[:b], n_valid[:b], final_flags, pad_to=b_pad,
+        force_block=force_block,
     )
     lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits = tabs
 

@@ -342,6 +342,14 @@ class Inf:
         """Bytes after this member (multi-member streams)."""
         return self._trailer[8:] if self._phase == "done" else b""
 
+    def reset(self) -> None:
+        """Reuse for the next member (reference Gz reset, gz.ml:582–610;
+        fresh window per member, gz.ml:467–471)."""
+        rest = self.remaining_input()
+        self.__init__(self.o_size)
+        if rest:
+            self.src(rest)
+
     # metadata accessors (gz.ml:613–633)
     def filename(self):
         return self.metadata.filename if self.metadata else None

@@ -175,6 +175,17 @@ class Inflate:
         de.ml:1459–1466)."""
         return self._given_back
 
+    def reset(self) -> None:
+        """Reuse this decoder for a new stream (reference `reset`,
+        de.ml:1512–1532: allocations are kept)."""
+        self._stream.reset()
+        self._pending_in = b""
+        self._out = b""
+        self._eoi = False
+        self._done = False
+        self.error = None
+        self._given_back = b""
+
     @property
     def total_out(self) -> int:
         return self._stream.total_out

@@ -30,15 +30,17 @@ def _flevel(level: int) -> int:
     return 3
 
 
-def deflate(data, level: int = 6, *, segment_size: int | None = None) -> bytes:
-    """One-shot zlib compress (Zl.Def.Ns parity, zl.ml:594–630)."""
+def deflate(data, level: int = 6, *, segment_size: int | None = None,
+            dynamic: bool = True) -> bytes:
+    """One-shot zlib compress (Zl.Def.Ns parity, zl.ml:594–630);
+    ``dynamic=False`` forces fixed-tree blocks (zl.ml:560)."""
     data = de._np_u8(data)
     cmf = 0x78  # CM=8 (deflate), CINFO=7 (32 KiB window)
     flg = _flevel(level) << 6
     rem = (cmf * 256 + flg) % 31
     if rem:
         flg += 31 - rem
-    body = de.deflate(data, level, segment_size=segment_size)
+    body = de.deflate(data, level, segment_size=segment_size, dynamic=dynamic)
     adler = checksum.adler32(data)
     return bytes([cmf, flg]) + body + adler.to_bytes(4, "big")
 
@@ -180,6 +182,10 @@ class Inf:
         out = self._inf.flush()
         self._adler = self._native.adler32(out, self._adler)
         return out
+
+    def reset(self) -> None:
+        """Reuse for a new stream (reference Zl reset, zl.ml:354–378)."""
+        self.__init__(self.o_size)
 
 
 class Def:

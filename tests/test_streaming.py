@@ -264,3 +264,46 @@ def test_lz_standalone_module():
     assert de.reconstruct(cmds[:-1]) == data
     stream = de.encode_commands(cmds[:-1])
     assert zlib.decompressobj(-15).decompress(stream) == data
+
+
+def test_reset_reuse():
+    """Decoder reuse across streams (reference reset, de.ml:1512–1532,
+    zl.ml:354–378, gz.ml:582–610) and multi-member gz.Inf chaining."""
+    a = zlib.compress(b"first stream", 6)
+    b_ = zlib.compress(b"second stream", 9)
+    dec = zl.Inf()
+    for comp, expect in ((a, b"first stream"), (b_, b"second stream")):
+        dec.src(comp)
+        dec.src(b"")
+        out = b""
+        while (tok := dec.decode()) != "end":
+            assert tok == "flush", dec.error
+            out += dec.flush()
+        out += dec.flush()
+        assert out == expect
+        dec.reset()
+
+    m1 = gz.compress(b"member one|", 6, segment_size=4096)
+    m2 = gz.compress(b"member two", 6, segment_size=4096)
+    g = gz.Inf()
+    g.src(m1 + m2)
+    g.src(b"")
+    out = b""
+    while (tok := g.decode()) != "end":
+        out += g.flush()
+    out += g.flush()
+    assert out == b"member one|"
+    g.reset()  # carries remaining input to the next member
+    g.src(b"")
+    out2 = b""
+    while (tok := g.decode()) != "end":
+        out2 += g.flush()
+    out2 += g.flush()
+    assert out2 == b"member two"
+
+
+def test_dynamic_false_forces_fixed():
+    data = b"fixed trees only " * 200
+    comp = zl.deflate(data, 6, segment_size=4096, dynamic=False)
+    assert zlib.decompress(comp) == data
+    assert (comp[2] >> 1) & 3 == 1  # BTYPE fixed
