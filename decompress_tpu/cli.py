@@ -51,7 +51,11 @@ def main(argv: list[str] | None = None) -> int:
     if not 0 <= args.level <= 9:
         ap.error("level must be in 0..9")
 
-    data = _read(args.input)
+    try:
+        data = _read(args.input)
+    except OSError as e:
+        print(f"decompress: {e}", file=sys.stderr)
+        return 1
     try:
         if args.decompress:
             if args.format == "deflate":
