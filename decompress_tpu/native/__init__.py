@@ -105,27 +105,37 @@ class LzoNativeError(ValueError):
     pass
 
 
+def _in_ptr(b: bytes):
+    if not b:
+        return (ctypes.c_uint8 * 1)()
+    return ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_uint8))
+
+
 def lzo1x_compress(data) -> bytes:
     lib = _load()
     b = bytes(data)
     cap = len(b) + len(b) // 16 + 128
-    out = (ctypes.c_uint8 * cap)()
+    out = ctypes.create_string_buffer(cap)
     n = ctypes.c_uint64()
-    rc = lib.tpuz_lzo1x_compress(_u8(b), len(b), out, cap, ctypes.byref(n))
+    rc = lib.tpuz_lzo1x_compress(
+        _in_ptr(b), len(b), ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
+        cap, ctypes.byref(n))
     if rc != 0:
         raise LzoNativeError(f"lzo1x_compress failed: {rc}")
-    return bytes(out[: n.value])
+    return ctypes.string_at(out, n.value)
 
 
 def lzo1x_decompress(data, out_cap: int) -> bytes:
     lib = _load()
     b = bytes(data)
-    out = (ctypes.c_uint8 * max(out_cap, 1))()
+    out = ctypes.create_string_buffer(max(out_cap, 1))
     n = ctypes.c_uint64()
-    rc = lib.tpuz_lzo1x_decompress(_u8(b), len(b), out, out_cap, ctypes.byref(n))
+    rc = lib.tpuz_lzo1x_decompress(
+        _in_ptr(b), len(b), ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)),
+        out_cap, ctypes.byref(n))
     if rc != 0:
         raise LzoNativeError(f"lzo1x_decompress failed: {rc}")
-    return bytes(out[: n.value])
+    return ctypes.string_at(out, n.value)
 
 
 class InflateStream:
@@ -161,11 +171,18 @@ class InflateStream:
 
     def run(self, src: bytes, dst_cap: int) -> tuple[int, int, bytes]:
         """Feed ``src``; returns (status, consumed, produced_bytes)."""
-        sbuf = _u8(src)
-        dbuf = (ctypes.c_uint8 * max(dst_cap, 1))()
+        src = bytes(src)
+        # zero-copy input view (the C side only reads), string_at output
+        sptr = ctypes.cast(ctypes.c_char_p(src), ctypes.POINTER(ctypes.c_uint8)) \
+            if src else (ctypes.c_uint8 * 1)()
+        dbuf = getattr(self, "_dbuf", None)
+        if dbuf is None or len(dbuf) < max(dst_cap, 1):
+            dbuf = ctypes.create_string_buffer(max(dst_cap, 1))
+            self._dbuf = dbuf
+        dptr = ctypes.cast(dbuf, ctypes.POINTER(ctypes.c_uint8))
         spos = ctypes.c_uint64(0)
         dpos = ctypes.c_uint64(0)
         status = self._lib.tpuz_inflate_run(
-            self._h, sbuf, len(src), ctypes.byref(spos), dbuf, dst_cap,
+            self._h, sptr, len(src), ctypes.byref(spos), dptr, dst_cap,
             ctypes.byref(dpos))
-        return status, spos.value, bytes(dbuf[: dpos.value])
+        return status, spos.value, ctypes.string_at(dbuf, dpos.value)

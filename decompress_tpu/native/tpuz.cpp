@@ -559,16 +559,27 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
   uint64_t hold = s->hold;
   int bits = s->bits;
 
-#define SAVE() do { s->hold = hold; s->bits = bits; *src_pos = sp; *dst_pos = dp; } while (0)
+  const uint64_t dp_entry = dp;
+#define MIRROR() do { \
+    uint64_t prod = dp - dp_entry; \
+    uint64_t take = prod > 32768 ? 32768 : prod; \
+    for (uint64_t k = take; k > 0; k--) \
+      s->window[(s->total_out - k) & 32767] = dst[dp - k]; \
+  } while (0)
+#define SAVE() do { MIRROR(); s->hold = hold; s->bits = bits; *src_pos = sp; *dst_pos = dp; } while (0)
 #define AWAIT() do { SAVE(); return TPUZ_AWAIT; } while (0)
 #define FLUSHED() do { SAVE(); return TPUZ_FLUSH; } while (0)
 #define BAD(msg) do { s->mode = M_BAD; s->err = msg; SAVE(); return TPUZ_MALFORMED; } while (0)
 #define NEEDBITS(k) do { while (bits < (int)(k)) { if (sp >= src_len) AWAIT(); hold |= (uint64_t)src[sp++] << bits; bits += 8; } } while (0)
 #define DROPBITS(k) do { hold >>= (k); bits -= (k); } while (0)
-#define OUTBYTE(b) do { uint8_t _b = (uint8_t)(b); dst[dp++] = _b; s->window[s->total_out & 32767] = _b; s->total_out++; } while (0)
+#define OUTBYTE(b) do { dst[dp++] = (uint8_t)(b); s->total_out++; } while (0)
 
 #define DECODE(H, RB, EVAR) \
   for (;;) { \
+    if (bits <= 32 && sp + 4 <= src_len) { \
+      uint32_t _w; memcpy(&_w, src + sp, 4); \
+      hold |= (uint64_t)_w << bits; bits += 32; sp += 4; \
+    } \
     EVAR = (H).table[hold & ((1u << (RB)) - 1)]; \
     if (E_FLAGS(EVAR) == F_LINK) \
       EVAR = (H).table[E_VALUE(EVAR) + ((hold >> (RB)) & ((1u << E_NBITS(EVAR)) - 1))]; \
@@ -741,11 +752,38 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
         break;
       }
       case M_COPY: {
-        while (s->copy_len > 0) {
-          if (dp >= dst_cap) FLUSHED();
-          uint8_t b = s->window[(s->total_out - s->copy_dist) & 32767];
-          OUTBYTE(b);
-          s->copy_len--;
+        uint64_t produced = dp - dp_entry;
+        if (s->copy_dist <= produced) {
+          // source entirely inside this run's dst output
+          uint64_t n = s->copy_len;
+          uint64_t room = dst_cap - dp;
+          if (n > room) n = room;
+          const uint8_t* srcp = dst + dp - s->copy_dist;
+          uint8_t* dstp = dst + dp;
+          if (s->copy_dist >= 8) {
+            uint64_t k = 0;
+            for (; k + 8 <= n; k += 8) memcpy(dstp + k, srcp + k, 8);
+            for (; k < n; k++) dstp[k] = srcp[k];
+          } else {
+            for (uint64_t k = 0; k < n; k++) dstp[k] = srcp[k];
+          }
+          dp += n;
+          s->total_out += n;
+          s->copy_len -= (uint32_t)n;
+          if (s->copy_len > 0) FLUSHED();
+        } else {
+          // source (partly) in the window ring from previous runs
+          while (s->copy_len > 0) {
+            if (dp >= dst_cap) FLUSHED();
+            uint64_t back = s->copy_dist;
+            uint8_t b;
+            if (back <= (uint64_t)(dp - dp_entry))
+              b = dst[dp - back];
+            else
+              b = s->window[(s->total_out - back) & 32767];
+            OUTBYTE(b);
+            s->copy_len--;
+          }
         }
         s->mode = M_SYM;
         break;

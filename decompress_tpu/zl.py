@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import de
-from .ops import checksum
+from .gz import checksum  # host framing uses native scalar checksums
 
 
 class MalformedError(de.MalformedError):
