@@ -1,0 +1,107 @@
+"""Multi-host bring-up and archive assembly (SURVEY §2.11, §5.8).
+
+The reference has no distributed runtime; this module supplies the
+multi-controller layer the TPU build adds:
+
+* :func:`initialize` — `jax.distributed` bring-up (same program on
+  every host; the global mesh then spans ICI within a slice and DCN
+  across slices).
+* :func:`sharded_gzip_compress_multihost` — each host compresses the
+  members of its local shard (device-parallel within the host via
+  parallel.sharded), then per-member byte sizes and payloads are
+  exchanged with a process-level all-gather and the archive is
+  assembled **by global member index** — deterministic bytes for any
+  host count, never arrival order.
+
+Single-host degenerates to the plain sharded path, so this module is
+exercised by the normal test suite; the process-gather branch follows
+`jax.experimental.multihost_utils` and activates when
+``jax.process_count() > 1``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import de
+from . import sharded
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Bring up the JAX multi-controller runtime (idempotent)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process environments (tests, one-host runs)
+        pass
+
+
+def _local_member_range(total_members: int) -> tuple[int, int]:
+    """Contiguous member range owned by this process (block layout)."""
+    import jax
+
+    p = jax.process_count()
+    i = jax.process_index()
+    per = -(-total_members // p)
+    lo = min(i * per, total_members)
+    hi = min(lo + per, total_members)
+    return lo, hi
+
+
+def sharded_gzip_compress_multihost(
+    data,
+    level: int = 6,
+    *,
+    member_size: int = de.SEGMENT_SIZE,
+    mesh=None,
+) -> bytes:
+    """Whole-archive gzip compress across all hosts.
+
+    ``data`` is the full input on every host (or the local shard plus
+    identical metadata — the member range owned by each host is a pure
+    function of process index).  Returns the complete archive on every
+    host, byte-identical everywhere.
+    """
+    import jax
+
+    arr = de._np_u8(data)
+    if jax.process_count() == 1:
+        return sharded.sharded_gzip_compress(
+            arr, level, member_size=member_size, mesh=mesh
+        )
+
+    from jax.experimental import multihost_utils
+
+    total = max(1, (arr.size + member_size - 1) // member_size)
+    lo, hi = _local_member_range(total)
+    local = arr[lo * member_size : hi * member_size]
+    local_arch = sharded.sharded_gzip_compress(
+        local, level, member_size=member_size, mesh=mesh, index=False
+    ) if local.size else b""
+
+    # order-preserving process gather: fixed-width buffers keyed by
+    # process index; sizes first, then padded payloads
+    size = np.array([len(local_arch)], np.int64)
+    all_sizes = multihost_utils.process_allgather(size)
+    cap = int(all_sizes.max())
+    buf = np.zeros(cap, np.uint8)
+    buf[: len(local_arch)] = np.frombuffer(local_arch, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)
+    parts = [
+        gathered[p, : int(all_sizes[p, 0])].tobytes()
+        for p in range(jax.process_count())
+    ]
+    return b"".join(parts)  # by process index == by member range
