@@ -67,8 +67,30 @@ def uncompress(data, output: bytearray | None = None, *, max_size: int | None = 
 
     Mirrors `Lzo.uncompress` semantics: raises :class:`LzoError` on
     malformed input (`Invalid_argument`/`Malformed` variants,
-    lzo.ml:4–5).
+    lzo.ml:4–5).  Uses the native decoder when available (the Python
+    state machine below is the reference fallback and documents the
+    opcode grammar).
     """
+    if output is None:
+        try:
+            from . import native
+
+            if native.available():
+                cap = max_size if max_size is not None else max(64, len(bytes(data)) * 64)
+                try:
+                    return native.lzo1x_decompress(data, cap)
+                except native.LzoNativeError as e:
+                    if "-2" in str(e) and max_size is None:
+                        # output larger than the heuristic cap: retry big
+                        return native.lzo1x_decompress(data, 1 << 30)
+                    raise LzoError(str(e)) from e
+        except ImportError:  # pragma: no cover
+            pass
+    return _uncompress_python(data, output, max_size=max_size)
+
+
+def _uncompress_python(data, output: bytearray | None = None, *,
+                       max_size: int | None = None) -> bytes:
     buf = de._np_u8(data)
     n = buf.size
     out = bytearray() if output is None else output
@@ -182,7 +204,7 @@ def uncompress(data, output: bytearray | None = None, *, max_size: int | None = 
 def uncompress_with_buffer(data) -> bytes:
     """Growable-output variant (reference Buffer interpreter,
     lzo.ml:199–216)."""
-    return uncompress(data, bytearray())
+    return _uncompress_python(data, bytearray())
 
 
 # ---------------------------------------------------------------------------

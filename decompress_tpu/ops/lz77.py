@@ -71,7 +71,10 @@ LEVELS: dict[int, LevelConfig] = {
     6: LevelConfig(8, True),
     7: LevelConfig(12, True),
     8: LevelConfig(16, True),
-    9: LevelConfig(24, True, True),
+    # level 9 relies on the same fingerprint descent (the verification
+    # pass makes it exact regardless); deeper candidate search instead
+    # of the 2x-slower linear extension
+    9: LevelConfig(24, True),
 }
 
 
