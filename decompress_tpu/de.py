@@ -736,23 +736,28 @@ def _inflate_native(buf: np.ndarray, window) -> tuple[bytes, int]:
     inf = native.InflateStream()
     if window is not None:
         inf.set_dictionary(bytes(window))
-    out = bytearray()
     pos = 0
-    feed_cap = 1 << 20   # bounded copies: O(n), not O(n * flushes)
-    out_cap = 1 << 18
+    feed_cap = 1 << 22   # bounded copies: O(n), not O(n * flushes)
+    # uninitialized output buffer, grown geometrically on FLUSH
+    out = np.empty(max(4 * buf.size, 1 << 16), dtype=np.uint8)
+    out_pos = 0
     while True:
-        status, consumed, produced = inf.run(
-            buf[pos : pos + feed_cap].tobytes(), out_cap
+        status, consumed, produced = inf.run_into(
+            buf[pos : pos + feed_cap].tobytes(), out, out_pos
         )
         pos += consumed
-        out += produced
+        out_pos += produced
         if status == native.InflateStream.END:
-            return bytes(out), pos
+            return out[:out_pos].tobytes(), pos
         if status == native.InflateStream.MALFORMED:
             raise MalformedError(inf.error)
         if status == native.InflateStream.AWAIT and pos >= buf.size:
             raise MalformedError("unexpected end of input")
-        # AWAIT with more input, or FLUSH: loop
+        if status == native.InflateStream.FLUSH:
+            bigger = np.empty(out.size * 2, dtype=np.uint8)
+            bigger[:out_pos] = out[:out_pos]
+            out = bigger
+        # AWAIT with more input: loop
 
 
 def _inflate_python(data, *, window: np.ndarray | None = None):

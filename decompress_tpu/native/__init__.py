@@ -169,6 +169,24 @@ class InflateStream:
     def error(self) -> str:
         return self._lib.tpuz_inflate_error(self._h).decode()
 
+    def run_into(self, src: bytes, out: "object", out_pos: int) -> tuple[int, int, int]:
+        """Decode into a caller-owned numpy uint8 buffer starting at
+        ``out_pos``; returns (status, consumed, produced).  Avoids the
+        per-call allocation/zeroing/copy of :meth:`run`."""
+        import numpy as np
+
+        src = bytes(src)
+        sptr = ctypes.cast(ctypes.c_char_p(src), ctypes.POINTER(ctypes.c_uint8)) \
+            if src else (ctypes.c_uint8 * 1)()
+        base = out.ctypes.data + out_pos
+        dptr = ctypes.cast(base, ctypes.POINTER(ctypes.c_uint8))
+        spos = ctypes.c_uint64(0)
+        dpos = ctypes.c_uint64(0)
+        status = self._lib.tpuz_inflate_run(
+            self._h, sptr, len(src), ctypes.byref(spos), dptr,
+            out.size - out_pos, ctypes.byref(dpos))
+        return status, spos.value, dpos.value
+
     def run(self, src: bytes, dst_cap: int) -> tuple[int, int, bytes]:
         """Feed ``src``; returns (status, consumed, produced_bytes)."""
         src = bytes(src)

@@ -699,6 +699,67 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
         break;
       }
       case M_SYM: {
+        // ---- fast bulk loop (inflate_fast style): with >= 48 bits
+        // buffered a whole literal or len+dist command decodes without
+        // refill checks (15+5+15+13 = 48 max), and 260 output bytes
+        // cover any copy. Falls through to the careful path otherwise.
+        for (;;) {
+          while (bits <= 32 && sp + 4 <= src_len) {
+            uint32_t _w; memcpy(&_w, src + sp, 4);
+            hold |= (uint64_t)_w << bits; bits += 32; sp += 4;
+          }
+          while (bits <= 56 && sp < src_len) {
+            hold |= (uint64_t)src[sp++] << bits; bits += 8;
+          }
+          if (bits < 48 || dst_cap - dp < 260) break;
+          int32_t e = s->lit.table[hold & ((1 << 10) - 1)];
+          if (E_FLAGS(e) == F_LINK)
+            e = s->lit.table[E_VALUE(e) + ((hold >> 10) & ((1u << E_NBITS(e)) - 1))];
+          if (E_FLAGS(e) != F_SYMBOL) BAD("invalid literal/length");
+          int sym = E_VALUE(e);
+          DROPBITS(E_NBITS(e));
+          if (sym < 256) { OUTBYTE(sym); continue; }
+          if (sym == 256) { s->mode = s->final_block ? M_DONE : M_HEAD; goto sym_done; }
+          if (sym > 285) BAD("invalid literal/length");
+          {
+            int ls = sym - 257;
+            int leb = LEN_EXTRA[ls];
+            uint32_t len = LEN_BASE[ls] + (uint32_t)(hold & ((1u << leb) - 1));
+            DROPBITS(leb);
+            int32_t de_ = s->dist.table[hold & ((1 << 8) - 1)];
+            if (E_FLAGS(de_) == F_LINK)
+              de_ = s->dist.table[E_VALUE(de_) + ((hold >> 8) & ((1u << E_NBITS(de_)) - 1))];
+            if (E_FLAGS(de_) != F_SYMBOL || E_VALUE(de_) > 29) BAD("invalid distance code");
+            int ds = E_VALUE(de_);
+            DROPBITS(E_NBITS(de_));
+            int deb = DIST_EXTRA[ds];
+            uint32_t dist = DIST_BASE[ds] + (uint32_t)(hold & ((1u << deb) - 1));
+            DROPBITS(deb);
+            if (dist > s->total_out) BAD("invalid distance");
+            uint64_t produced = dp - dp_entry;
+            if (dist <= produced) {
+              const uint8_t* srcp = dst + dp - dist;
+              uint8_t* dstp = dst + dp;
+              if (dist >= 8) {
+                uint32_t k = 0;
+                for (; k + 8 <= len; k += 8) memcpy(dstp + k, srcp + k, 8);
+                for (; k < len; k++) dstp[k] = srcp[k];
+              } else {
+                for (uint32_t k = 0; k < len; k++) dstp[k] = srcp[k];
+              }
+              dp += len;
+              s->total_out += len;
+            } else {
+              for (uint32_t k = 0; k < len; k++) {
+                uint8_t b = (dist <= (uint64_t)(dp - dp_entry))
+                    ? dst[dp - dist]
+                    : s->window[(s->total_out - dist) & 32767];
+                OUTBYTE(b);
+              }
+            }
+          }
+        }
+        // ---- careful path: suspendable at every read/write ----
         for (;;) {
           int32_t e;
           DECODE(s->lit, 10, e);
@@ -721,6 +782,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
           s->mode = M_LENEXTRA;
           break;
         }
+        sym_done:
         break;
       }
       case M_LENEXTRA: {
