@@ -12,7 +12,7 @@ member, gz.ml:467–471) — the property the sharded compressor
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -21,7 +21,6 @@ Design (BASELINE north star; SURVEY §2 parallelism table):
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 
