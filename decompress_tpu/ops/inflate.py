@@ -157,13 +157,13 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
         return i + 1, bitpos, done, new_bad, kinds, values, dists
 
     def step(state):
-        # two symbols per loop iteration: the while_loop's per-step op
-        # issue cost dominates at small batch, so unrolling ~halves it
-        return substep(substep(state))
+        # four symbols per loop iteration: the while_loop's per-step op
+        # issue cost dominates at small batch, so unrolling amortizes it
+        return substep(substep(substep(substep(state))))
 
     def cond(state):
         i, _, done, _, _, _, _ = state
-        return (i < max_cmds - 1) & ~jnp.all(done)
+        return (i < max_cmds - 3) & ~jnp.all(done)
 
     kinds0 = jnp.full((b, max_cmds), 2, jnp.int8)
     values0 = jnp.zeros((b, max_cmds), jnp.int32)
