@@ -730,6 +730,22 @@ def inflate_ex(data, *, window: np.ndarray | None = None):
     return _inflate_python(data, window=window)
 
 
+def inflate_into(data, dst: np.ndarray, *, window: np.ndarray | None = None) -> tuple[int, int]:
+    """One-shot inflate into a caller-owned buffer.
+
+    Signature parity with the reference `Inf.Ns.inflate : bigstring ->
+    bigstring -> (int * int, error) result` (de.ml:1807–1822): returns
+    (bytes_consumed, bytes_produced); raises :class:`MalformedError`,
+    including when ``dst`` is too small (the Ns output-exhaustion
+    error, test_ns.ml:215–253).
+    """
+    out, consumed = inflate_ex(data, window=window)
+    if len(out) > dst.size:
+        raise MalformedError("unexpected end of output")
+    dst[: len(out)] = np.frombuffer(out, np.uint8)
+    return consumed, len(out)
+
+
 def _inflate_native(buf: np.ndarray, window) -> tuple[bytes, int]:
     from . import native
 

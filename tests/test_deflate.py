@@ -135,3 +135,27 @@ def test_cmd_packing_parity():
     assert de.cmd_unpack(de.cmd_copy(32768, 258)) == ("copy", (32768, 258))
     assert de.cmd_unpack(de.CMD_EOB) == ("end", None)
     assert de.cmd_unpack(de.cmd_literal(200)) == ("literal", 200)
+
+
+def test_segment_boundary_sizes():
+    """Exact batch/segment boundary inputs exercise the tail-batch
+    paths (full batch, +1, pow2 tails)."""
+    rng = np.random.default_rng(99)
+    base = (b"boundary case payload " * 4000)
+    for n in (SEG - 1, SEG, SEG + 1, 8 * SEG, 8 * SEG + 1, 9 * SEG + 7):
+        data = base[:n] if n <= len(base) else (base * (n // len(base) + 1))[:n]
+        comp = de.deflate(data, 6, segment_size=SEG)
+        assert _zlib_raw_inflate(comp) == data, n
+
+
+def test_inflate_into_parity():
+    """Inf.Ns caller-buffer signature (de.ml:1807–1822)."""
+    data = b"into buffer " * 300
+    comp = de.deflate(data, 6, segment_size=SEG)
+    dst = np.zeros(len(data) + 16, np.uint8)
+    consumed, produced = de.inflate_into(comp, dst)
+    assert consumed == len(comp) and produced == len(data)
+    assert dst[:produced].tobytes() == data
+    small = np.zeros(10, np.uint8)
+    with pytest.raises(de.MalformedError, match="output"):
+        de.inflate_into(comp, small)
