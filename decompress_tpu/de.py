@@ -644,6 +644,21 @@ class MalformedError(ValueError):
 
 
 def _build_tables_from_header(r: bitstream.BitReader):
+    lit_lens, dist_lens = _parse_dynamic_lengths(r)
+    try:
+        lit_dt = huffman.build_decode_table(lit_lens, huffman.ROOT_BITS_LENS)
+        dist_dt = huffman.build_decode_table(
+            dist_lens, huffman.ROOT_BITS_DISTS, allow_incomplete=True
+        )
+    except huffman.InvalidTree as e:
+        raise MalformedError("invalid dictionary") from e
+    return lit_dt, dist_dt
+
+
+def _parse_dynamic_lengths(r: bitstream.BitReader):
+    """Parse a dynamic block header up to the code lengths; returns
+    (lit_lengths, dist_lengths) with the reader positioned at the
+    symbol section."""
     hlit = r.read(5) + 257
     hdist = r.read(5) + 1
     hclen = r.read(4) + 4
@@ -680,14 +695,7 @@ def _build_tables_from_header(r: bitstream.BitReader):
         raise MalformedError("invalid dictionary")
     if lengths[256] == 0:
         raise MalformedError("invalid dictionary")
-    try:
-        lit_dt = huffman.build_decode_table(lengths[:hlit], huffman.ROOT_BITS_LENS)
-        dist_dt = huffman.build_decode_table(
-            lengths[hlit:], huffman.ROOT_BITS_DISTS, allow_incomplete=True
-        )
-    except huffman.InvalidTree as e:
-        raise MalformedError("invalid dictionary") from e
-    return lit_dt, dist_dt
+    return lengths[:hlit], lengths[hlit:]
 
 
 _FIXED_LIT_DT = None
@@ -764,7 +772,7 @@ def _inflate_native(buf: np.ndarray, window) -> tuple[bytes, int]:
         pos += consumed
         out_pos += produced
         if status == native.InflateStream.END:
-            return out[:out_pos].tobytes(), pos
+            return out[:out_pos].tobytes(), pos - len(inf.takeback())
         if status == native.InflateStream.MALFORMED:
             raise MalformedError(inf.error)
         if status == native.InflateStream.AWAIT and pos >= buf.size:

@@ -248,10 +248,10 @@ class Inf:
     member, gz.ml:467–471); metadata available after the header parses."""
 
     def __init__(self, o_size: int = de.io_buffer_size):
-        from . import native, streaming
+        from . import streaming
 
         self._streaming = streaming
-        self._native = native
+        self._native = checksum
         self.o_size = o_size
         self._head = bytearray()
         self._inf = None
@@ -439,10 +439,8 @@ def _parse_header(buf: np.ndarray) -> tuple[Metadata, int]:
     if flg & _FCOMMENT:
         meta.comment, pos = _read_zero_terminated(buf, pos)
     if flg & _FHCRC:
-        from . import native
-
         expect = int.from_bytes(buf[pos : pos + 2].tobytes(), "little")
-        got = native.crc32(buf[:pos].tobytes()) & 0xFFFF
+        got = checksum.crc32(buf[:pos].tobytes()) & 0xFFFF
         if got != expect:
             raise MalformedError("invalid header crc")
         pos += 2
@@ -465,9 +463,9 @@ class Def:
         text: bool = False,
         segment_size: int | None = None,
     ):
-        from . import native, streaming
+        from . import streaming
 
-        self._native = native
+        self._native = checksum
         self._def = streaming.Deflate(level, segment_size)
         self._crc = 0
         self._isize = 0
@@ -490,7 +488,7 @@ class Def:
         if comment is not None:
             head += comment.encode("latin-1") + b"\x00"
         if fhcrc:
-            head += (native.crc32(bytes(head)) & 0xFFFF).to_bytes(2, "little")
+            head += (checksum.crc32(bytes(head)) & 0xFFFF).to_bytes(2, "little")
         self._pending_header = bytes(head)
 
     def push(self, data) -> bytes:

@@ -105,6 +105,8 @@ def _uncompress_python(data, output: bytearray | None = None, *,
         t = first - 17
         if ip + t > n:
             raise LzoError("unexpected end of input")
+        if max_size is not None and t > max_size:
+            raise LzoError("output too large")
         out += buf[ip : ip + t].tobytes()
         ip += t
         state = 4 if t >= 4 else t
@@ -124,6 +126,8 @@ def _uncompress_python(data, output: bytearray | None = None, *,
                 length += 3
                 if ip + length > n:
                     raise LzoError("unexpected end of input")
+                if max_size is not None and len(out) + length > max_size:
+                    raise LzoError("output too large")
                 out += buf[ip : ip + length].tobytes()
                 ip += length
                 state = 4
@@ -190,6 +194,8 @@ def _uncompress_python(data, output: bytearray | None = None, *,
         if s:
             if ip + s > n:
                 raise LzoError("unexpected end of input")
+            if max_size is not None and len(out) + s > max_size:
+                raise LzoError("output too large")
             out += buf[ip : ip + s].tobytes()
             ip += s
         # after a match: state = trailing-literal count (1..3) or 0;

@@ -64,6 +64,8 @@ def _load():
         lib.tpuz_inflate_total_out.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_set_dictionary.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_uint32]
+        lib.tpuz_inflate_takeback.restype = ctypes.c_int
+        lib.tpuz_inflate_takeback.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
         lib.tpuz_inflate_run.restype = ctypes.c_int
         lib.tpuz_inflate_run.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
@@ -164,6 +166,13 @@ class InflateStream:
     @property
     def total_out(self) -> int:
         return self._lib.tpuz_inflate_total_out(self._h)
+
+    def takeback(self) -> bytes:
+        """Whole bytes buffered past the stream end that were consumed
+        by earlier run() calls (call once after END)."""
+        buf = (ctypes.c_uint8 * 8)()
+        n = self._lib.tpuz_inflate_takeback(self._h, buf, 8)
+        return bytes(buf[:n])
 
     @property
     def error(self) -> str:

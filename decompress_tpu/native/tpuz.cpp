@@ -530,6 +530,23 @@ void tpuz_inflate_reset(TpuzInflate* s) {
 const char* tpuz_inflate_error(TpuzInflate* s) { return s->err ? s->err : ""; }
 uint64_t tpuz_inflate_total_out(TpuzInflate* s) { return s->total_out; }
 
+// After TPUZ_END: pop whole bytes still buffered in the hold (they were
+// consumed from earlier run() calls' inputs).  Returns the byte count,
+// oldest byte first.
+int tpuz_inflate_takeback(TpuzInflate* s, uint8_t* out, int cap) {
+  // the low (bits % 8) bits are padding inside the byte the stream
+  // ended in — not give-backable; whole bytes follow them
+  s->hold >>= (s->bits & 7);
+  s->bits -= s->bits & 7;
+  int n = 0;
+  while (s->bits >= 8 && n < cap) {
+    out[n++] = (uint8_t)(s->hold & 0xff);
+    s->hold >>= 8;
+    s->bits -= 8;
+  }
+  return n;
+}
+
 int tpuz_inflate_set_dictionary(TpuzInflate* s, const uint8_t* dict, uint32_t len) {
   if (len > 32768) { dict += len - 32768; len = 32768; }
   // place dictionary as if it were prior output
@@ -558,6 +575,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
   uint64_t dp = *dst_pos;
   uint64_t hold = s->hold;
   int bits = s->bits;
+  const uint64_t sp_entry = sp;
 
   const uint64_t dp_entry = dp;
 #define MIRROR() do { \
@@ -851,9 +869,12 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
         break;
       }
       case M_DONE: {
-        // give back whole unconsumed bytes (de.ml:1459–1466)
-        while (bits >= 8) { bits -= 8; sp--; }
-        hold &= (1u << bits) - 1;
+        // give back whole unconsumed bytes (de.ml:1459–1466).  Only
+        // bytes consumed by THIS call can be returned through src_pos;
+        // whole bytes buffered by earlier calls stay in the hold and
+        // are retrieved via tpuz_inflate_takeback().
+        while (bits >= 8 && sp > sp_entry) { bits -= 8; sp--; }
+        hold &= bits >= 64 ? ~0ull : ((1ull << bits) - 1);
         SAVE();
         return TPUZ_END;
       }

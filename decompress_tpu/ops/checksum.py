@@ -306,8 +306,8 @@ def _mod_tree_sum(x: jnp.ndarray, mod: int) -> jnp.ndarray:
     return x[0]
 
 
-@functools.partial(jax.jit, static_argnames=("length",))
-def _adler32_padded(data_padded: jnp.ndarray, length: int) -> jnp.ndarray:
+@jax.jit
+def _adler32_padded(data_padded: jnp.ndarray, length) -> jnp.ndarray:
     """Adler-32 of a back-aligned zero-front-padded buffer.
 
     Leading zeros leave A unchanged and inflate B by exactly ``pad``
@@ -325,7 +325,7 @@ def _adler32_padded(data_padded: jnp.ndarray, length: int) -> jnp.ndarray:
     sum_w = _mod_tree_sum(w, ADLER_MOD)
     sum_ws = _mod_tree_sum(weighted.astype(jnp.int32), ADLER_MOD)
     a = (1 + sum_s) % ADLER_MOD
-    pad = p - length
+    pad = jnp.int32(p) - length
     b = (p % ADLER_MOD + sum_w + (ADLER_CHUNK % ADLER_MOD) * sum_ws) % ADLER_MOD
     b = (b - pad % ADLER_MOD + ADLER_MOD) % ADLER_MOD
     return (b.astype(jnp.uint32) << 16) | a.astype(jnp.uint32)
@@ -337,10 +337,12 @@ def adler32(data, value: int = 1) -> int:
     n = arr.size
     if n == 0:
         return value
-    p = max((n + ADLER_CHUNK - 1) // ADLER_CHUNK, 1) * ADLER_CHUNK
+    # power-of-two chunk counts bound the number of compiled variants;
+    # length itself is a traced scalar (no per-length recompiles)
+    p = _ceil_pow2(max((n + ADLER_CHUNK - 1) // ADLER_CHUNK, 1)) * ADLER_CHUNK
     padded = np.zeros(p, dtype=np.uint8)
     padded[p - n :] = arr
-    fresh = int(_adler32_padded(jnp.asarray(padded), n))
+    fresh = int(_adler32_padded(jnp.asarray(padded), jnp.int32(n)))
     if value == 1:
         return fresh
     return adler32_combine(value, fresh, n)

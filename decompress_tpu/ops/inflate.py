@@ -59,14 +59,37 @@ def prepare_member(body: np.ndarray):
     r = bitstream.BitReader(body)
     bfinal = r.read(1)
     btype = r.read(2)
+    if btype == 0:
+        # stored member: a chain of stored chunks is pure byte slices —
+        # resolved on host, no device work needed
+        out = bytearray()
+        while True:
+            r.align_to_byte()
+            ln = int.from_bytes(r.read_bytes(2).tobytes(), "little")
+            nlen = int.from_bytes(r.read_bytes(2).tobytes(), "little")
+            if ln != (nlen ^ 0xFFFF):
+                raise de.MalformedError("invalid complement of length")
+            out += r.read_bytes(ln).tobytes()
+            if bfinal:
+                return ("stored", bytes(out))
+            bfinal = r.read(1)
+            if r.read(2) != 0:
+                raise NotParallelizable("mixed block kinds in member")
     if not bfinal or btype not in (1, 2):
         raise NotParallelizable("not a single fixed/dynamic block")
     if btype == 1:
-        lit_dt, dist_dt = de._fixed_tables()
+        lit_lens = tables.FIXED_LIT_LENGTHS
+        dist_lens = tables.FIXED_DIST_LENGTHS
     else:
-        lit_dt, dist_dt = de._build_tables_from_header(r)
-    if lit_dt.root_bits != huffman.ROOT_BITS_LENS:
-        raise NotParallelizable("unexpected table root")
+        lit_lens, dist_lens = de._parse_dynamic_lengths(r)
+    # build at the kernel's peek widths (ROOT_LIT/ROOT_DIST), which may
+    # differ from the host decoders' root sizes
+    try:
+        lit_dt = huffman.build_decode_table(lit_lens, ROOT_LIT)
+        dist_dt = huffman.build_decode_table(dist_lens, ROOT_DIST,
+                                             allow_incomplete=True)
+    except huffman.InvalidTree as e:
+        raise de.MalformedError("invalid dictionary") from e
     lit = np.full(MAX_TABLE, huffman.ENTRY_INVALID, np.int32)
     if lit_dt.table.size > MAX_TABLE:
         raise NotParallelizable("lit table too large")
@@ -77,7 +100,7 @@ def prepare_member(body: np.ndarray):
     dist[: dist_dt.table.size] = dist_dt.table
     # start bit position of the symbol section
     start_bit = (r.pos * 8) - r.nbits
-    return lit, dist, start_bit
+    return ("huff", lit, dist, start_bit)
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))
@@ -178,7 +201,7 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
 
 
 @functools.partial(jax.jit, static_argnames=("out_len", "max_rounds"))
-def expand_commands(kinds, values, dists, out_len: int, max_rounds: int = 16):
+def expand_commands(kinds, values, dists, out_len: int, max_rounds: int | None = None):
     """LZ77 expansion: commands -> bytes, member-parallel.
 
     For every output byte, compute its *source*: literals root the
@@ -187,6 +210,9 @@ def expand_commands(kinds, values, dists, out_len: int, max_rounds: int = 16):
     jumping resolves copy-of-copy chains in log(depth) rounds.
     Returns (payload uint8[B, out_len], lengths int32[B]).
     """
+    if max_rounds is None:
+        # chains are < out_len deep; doubling needs log2 rounds
+        max_rounds = max(4, out_len.bit_length() + 1)
     b, m = kinds.shape
     is_lit = kinds == 0
     is_copy = kinds == 1

@@ -51,7 +51,12 @@ def fixed_deflate_segments(
     """
     if out_words is None:
         out_words = (10 * seg_len) // 32 + 64
-    res = lz77.lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len)
+    # force_exact: this function is fully jitted, so it cannot run the
+    # host-side fingerprint-verification retry that lz77.analyze does;
+    # the exact linear extension keeps its output unconditionally correct
+    res = lz77.lz77_analyze(
+        data, n_valid, hist_len, level=level, seg_len=seg_len, force_exact=True
+    )
     lit_code, lit_len, dist_code, dist_len = _fixed_code_arrays()
 
     lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)

@@ -33,8 +33,6 @@ def initialize(coordinator_address: str | None = None,
     """Bring up the JAX multi-controller runtime (idempotent)."""
     import jax
 
-    if jax.process_count() > 1:
-        return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(
@@ -42,11 +40,15 @@ def initialize(coordinator_address: str | None = None,
             num_processes=num_processes,
             process_id=process_id,
         )
+    # NOTE: do not touch jax.process_count()/devices() first — that
+    # initializes the local backend and makes distributed.initialize
+    # fail afterwards.
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
+    except (RuntimeError, ValueError) as e:
+        if "already" not in str(e).lower() and coordinator_address is not None:
+            raise  # real multi-host bring-up failure: surface it
         # single-process environments (tests, one-host runs)
-        pass
 
 
 def _local_member_range(total_members: int) -> tuple[int, int]:
@@ -78,7 +80,7 @@ def sharded_gzip_compress_multihost(
     import jax
 
     arr = de._np_u8(data)
-    if jax.process_count() == 1:
+    if arr.size == 0 or jax.process_count() == 1:
         return sharded.sharded_gzip_compress(
             arr, level, member_size=member_size, mesh=mesh
         )

@@ -200,8 +200,8 @@ def sharded_gzip_compress(
 
 def sharded_gzip_decompress(archive) -> bytes:
     """Member-parallel decode of an indexed archive (device batch
-    inflate); falls back to the serial path when the index is absent or
-    a member isn't device-decodable."""
+    inflate); stored members resolve on host; falls back to the serial
+    path when the index is absent or a member isn't device-decodable."""
     buf = de._np_u8(archive)
     try:
         sizes = _read_index(buf)
@@ -228,50 +228,67 @@ def sharded_gzip_decompress(archive) -> bytes:
             body = mem[body_off:-8]
             crc = int.from_bytes(mem[-8:-4].tobytes(), "little")
             isize = int.from_bytes(mem[-4:].tobytes(), "little")
-            lit, dist, start = inflate_ops.prepare_member(body)
-            metas.append((body, lit, dist, start, crc, isize))
-    except (inflate_ops.NotParallelizable, de.MalformedError):
+            metas.append((inflate_ops.prepare_member(body), body, crc, isize))
+    except (inflate_ops.NotParallelizable, de.MalformedError, EOFError):
         return gz.decompress(buf)
 
     import jax.numpy as jnp
 
-    m = len(metas)
-    out_len = _ceil_pow2_int(max(t[5] for t in metas))
-    wmax = _ceil_pow2_int(max(t[0].size for t in metas) // 4 + 4)
-    b_pad = _ceil_pow2_int(m)
-    words = np.zeros((b_pad, wmax), np.uint32)
-    start_bits = np.zeros(b_pad, np.int32)
-    lits = np.tile(np.array([huffman_invalid()], np.int32), (b_pad, inflate_ops.MAX_TABLE))
-    dists = np.tile(np.array([huffman_invalid()], np.int32), (b_pad, inflate_ops.DIST_TABLE))
-    for i, (body, lit, dist, start, _, _) in enumerate(metas):
-        bw = np.zeros(wmax * 4, np.uint8)
-        bw[: body.size] = body
-        words[i] = bw.view("<u4")
-        start_bits[i] = start
-        lits[i] = lit
-        dists[i] = dist
-    # degenerate tables for padding rows decode "end" immediately? give
-    # them a fixed-tree EOB stream instead: simplest is zero bits with
-    # invalid tables; their results are discarded.
-    kinds, values, dvals, ok = inflate_ops.decode_symbols(
-        jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(lits),
-        jnp.asarray(dists), max_cmds=out_len + 2,
-    )
-    if not bool(np.asarray(ok)[:m].all()):
-        return gz.decompress(buf)
-    payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
-    lengths = np.asarray(lengths)
+    huff = [i for i, (p, *_rest) in enumerate(metas) if p[0] == "huff"]
+    results: list = [None] * len(metas)
+    crcs_ok = True
 
-    from ..ops import checksum as checksum_ops
+    if huff:
+        m = len(huff)
+        out_len = _ceil_pow2_int(max(metas[i][3] for i in huff))
+        wmax = _ceil_pow2_int(max(metas[i][1].size for i in huff) // 4 + 4)
+        b_pad = _ceil_pow2_int(m)
+        words = np.zeros((b_pad, wmax), np.uint32)
+        start_bits = np.zeros(b_pad, np.int32)
+        lits = np.full((b_pad, inflate_ops.MAX_TABLE), huffman_invalid(), np.int32)
+        dists = np.full((b_pad, inflate_ops.DIST_TABLE), huffman_invalid(), np.int32)
+        for row, i in enumerate(huff):
+            (_, lit, dist, start), body, _, _ = metas[i]
+            bw = np.zeros(wmax * 4, np.uint8)
+            bw[: body.size] = body
+            words[row] = bw.view("<u4")
+            start_bits[row] = start
+            lits[row] = lit
+            dists[row] = dist
+        kinds, values, dvals, ok = inflate_ops.decode_symbols(
+            jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(lits),
+            jnp.asarray(dists), max_cmds=out_len + 4,
+        )
+        if not bool(np.asarray(ok)[:m].all()):
+            return gz.decompress(buf)
+        payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
+        lengths = np.asarray(lengths)
 
-    crcs = checksum_ops.crc32_batch_device(payload, np.asarray(lengths))
-    payload = np.asarray(payload)
-    out = []
-    for i, (_, _, _, _, crc, isize) in enumerate(metas):
-        if int(lengths[i]) != isize or int(crcs[i]) != crc:
-            return gz.decompress(buf)  # checksum mismatch: trust serial path
-        out.append(payload[i, :isize].tobytes())
-    return b"".join(out)
+        from ..ops import checksum as checksum_ops
+
+        crcs = checksum_ops.crc32_batch_device(payload, np.asarray(lengths))
+        payload = np.asarray(payload)
+        for row, i in enumerate(huff):
+            _, _, crc, isize = metas[i]
+            if int(lengths[row]) != isize or int(crcs[row]) != crc:
+                crcs_ok = False
+                break
+            results[i] = payload[row, :isize].tobytes()
+
+    if crcs_ok:
+        from .. import native
+
+        for i, (p, _, crc, isize) in enumerate(metas):
+            if p[0] != "stored":
+                continue
+            data = p[1]
+            if len(data) != isize or native.crc32(data) != crc:
+                crcs_ok = False
+                break
+            results[i] = data
+    if not crcs_ok or any(r is None for r in results):
+        return gz.decompress(buf)  # checksum mismatch: trust serial path
+    return b"".join(results)
 
 
 def _ceil_pow2_int(n: int) -> int:

@@ -151,7 +151,9 @@ class Inflate:
             self._out += produced
             if status == self._stream.END:
                 self._done = True
-                self._given_back = self._pending_in
+                # bytes past the stream end: any whole bytes the state
+                # machine buffered from earlier feeds come first
+                self._given_back = self._stream.takeback() + self._pending_in
                 return TOKEN_END
             if status == self._stream.MALFORMED:
                 self.error = self._stream.error
@@ -319,7 +321,7 @@ class Lz77:
         self._buf += data
 
     def compress(self) -> str:
-        from . import native
+        from .gz import checksum as _cks
 
         while True:
             if self._ended:
@@ -334,6 +336,10 @@ class Lz77:
                 self._ended = True
                 return TOKEN_END
             take = min(take, self.chunk)
+            if self.q.available() < take:
+                # conservative pre-check (commands <= bytes) so a full
+                # queue never wastes a device analysis
+                return TOKEN_FLUSH
             chunk = bytes(self._buf[:take])
             cmds = de.match_commands(chunk, self._hist, self.level)
             if self.q.available() < len(cmds):
@@ -349,6 +355,6 @@ class Lz77:
 
                     self.literals[257 + int(_t.length_to_code(np.array([ln]))[0])] += 1
                     self.distances[int(_t.dist_to_code(np.array([off]))[0])] += 1
-            self.checksum_value = native.adler32(chunk, self.checksum_value)
+            self.checksum_value = _cks.adler32(chunk, self.checksum_value)
             del self._buf[:take]
             self._hist = (self._hist + chunk)[-32768:]

@@ -90,10 +90,11 @@ class Inf:
     """Streaming zlib decoder: header check, raw inflate, Adler verify."""
 
     def __init__(self, o_size: int = de.io_buffer_size):
-        from . import native, streaming
+        from . import streaming
+        from .gz import checksum as _cks
 
         self._streaming = streaming
-        self._native = native
+        self._native = _cks
         self.o_size = o_size
         self._head = b""
         self._inf = None
@@ -193,9 +194,10 @@ class Def:
     big-endian Adler-32 trailer (zl.ml:494–522)."""
 
     def __init__(self, level: int = 6, segment_size: int | None = None):
-        from . import native, streaming
+        from . import streaming
+        from .gz import checksum as _cks
 
-        self._native = native
+        self._native = _cks
         self._def = streaming.Deflate(level, segment_size)
         self._adler = 1
         cmf = 0x78

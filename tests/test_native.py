@@ -124,3 +124,47 @@ def test_streaming_inflate_preset_dictionary():
     status, _, out = inf.run(comp, len(data) + 16)
     assert status == native.InflateStream.END
     assert out == data
+
+
+def test_giveback_across_run_boundaries():
+    """Regression: END reached with trailer bytes buffered from an
+    EARLIER run() call must not underflow the consumed count; the
+    buffered bytes come back via takeback()."""
+    data = b"A" * 200_000
+    comp = zlib.compress(data, 6)[2:-4]
+    trailer = b"TRLR9876"
+    inf = native.InflateStream()
+    stream = comp + trailer
+    out = b""
+    pos = 0
+    while True:
+        status, consumed, produced = inf.run(stream[pos:], 65536)  # small dst
+        assert consumed <= len(stream) - pos, "consumed underflow"
+        pos += consumed
+        out += produced
+        if status == native.InflateStream.END:
+            break
+        assert status == native.InflateStream.FLUSH, inf.error
+    assert out == data
+    given_back = inf.takeback() + stream[pos:]
+    assert given_back == trailer
+
+
+def test_streaming_inflate_giveback_small_o():
+    """zl.Inf with a small output window on a large stream (the exact
+    failure shape: trailer bytes held across FLUSH boundaries)."""
+    import gzip as _gzip
+
+    from decompress_tpu import gz, zl
+
+    data = b"A" * 200_000
+    for comp, dec in ((zlib.compress(data, 6), zl.Inf(o_size=65536)),
+                      (_gzip.compress(data, 6), gz.Inf(o_size=65536))):
+        dec.src(comp)
+        dec.src(b"")
+        out = b""
+        while (tok := dec.decode()) != "end":
+            assert tok == "flush", dec.error
+            out += dec.flush()
+        out += dec.flush()
+        assert out == data

@@ -64,3 +64,17 @@ def test_stored_members_roundtrip():
     assert gzip.decompress(arch) == incompressible
     # stored members are not single huffman blocks -> serial fallback
     assert sharded_gzip_decompress(arch) == incompressible
+
+
+def test_device_path_actually_runs(payload, monkeypatch):
+    """Regression: a root-bits mismatch once made every member decode
+    fail ok=False and silently fall back to the serial path."""
+    from decompress_tpu.parallel import sharded as sh
+
+    arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
+
+    def _no_fallback(_buf):
+        raise AssertionError("device decode fell back to the serial path")
+
+    monkeypatch.setattr(sh.gz, "decompress", _no_fallback)
+    assert sh.sharded_gzip_decompress(arch) == payload
