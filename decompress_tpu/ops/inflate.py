@@ -112,91 +112,140 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
     Returns (kinds int8[B, max_cmds] (0 lit, 1 copy, 2 end), values
     int32[B, max_cmds] (literal byte or length), dists int32[B, max_cmds],
     ok bool[B]).
+
+    Each member carries a 64-bit bit-window (two uint32 lanes) refilled
+    one word at a time, so a whole command (lit+extra+dist+extra,
+    <= 48 bits) decodes per iteration from register arithmetic with two
+    conditional word gathers and four table gathers.
     """
-    b = words.shape[0]
+    b, wmax = words.shape
     lbase = jnp.asarray(tables.LENGTH_BASE)
     lextra = jnp.asarray(tables.LENGTH_EXTRA)
     dbase = jnp.asarray(tables.DIST_BASE)
     dextra = jnp.asarray(tables.DIST_EXTRA)
+    u32 = jnp.uint32
+
+    def gather_word(widx):
+        return jnp.take_along_axis(
+            words, jnp.minimum(widx, wmax - 1)[:, None], axis=1)[:, 0]
+
+    def refill16(hidx, hlo, hhi, bits):
+        """Insert one 16-bit halfword when fewer than 48 bits are
+        buffered.  Halfword granularity is what makes the >=48-bit
+        invariant compatible with the 64-bit window: a refill is needed
+        whenever bits < 48 and 16 more always fit (48 + 16 = 64)."""
+        need = bits < 48
+        w = jnp.where(need, gather_word(hidx >> 1), u32(0))
+        h16 = (w >> ((hidx & 1).astype(u32) * u32(16))) & u32(0xFFFF)
+        sh = jnp.clip(bits, 0, 48).astype(u32)
+        lo_add = jnp.where(sh < 32, h16 << (sh & u32(31)), u32(0))
+        hi_add = jnp.where(
+            sh < 32,
+            jnp.where(sh == 0, u32(0), h16 >> ((u32(32) - sh) & u32(31))),
+            h16 << ((sh - u32(32)) & u32(31)),
+        )
+        return (
+            jnp.where(need, hidx + 1, hidx),
+            hlo | lo_add,
+            hhi | hi_add,
+            jnp.where(need, bits + 16, bits),
+        )
+
+    def consume(hlo, hhi, bits, n):
+        nu = n.astype(u32)
+        lo = jnp.where(
+            nu == 0, hlo,
+            (hlo >> nu) | (hhi << ((u32(32) - nu) & u32(31))),
+        )
+        return lo, hhi >> nu, bits - n
 
     def resolve(tabs, root_bits, peek):
-        idx = (peek & ((1 << root_bits) - 1)).astype(jnp.int32)
+        idx = (peek & u32((1 << root_bits) - 1)).astype(jnp.int32)
         e = jnp.take_along_axis(tabs, idx[:, None], axis=1)[:, 0]
         is_link = (e >> 28) == huffman.F_LINK
         sub_bits = (e >> 16) & 0xFFF
         sub_idx = (e & 0xFFFF) + (
             (peek >> root_bits).astype(jnp.int32) & ((1 << sub_bits) - 1)
         )
-        e2 = jnp.take_along_axis(tabs, jnp.minimum(sub_idx, MAX_TABLE - 1)[:, None], axis=1)[:, 0]
+        e2 = jnp.take_along_axis(
+            tabs, jnp.minimum(sub_idx, tabs.shape[1] - 1)[:, None], axis=1)[:, 0]
         e = jnp.where(is_link, e2, e)
-        sym = e & 0xFFFF
-        nbits = (e >> 16) & 0xFFF
-        bad = (e >> 28) != huffman.F_SYMBOL
-        return sym, nbits, bad
+        return e & 0xFFFF, (e >> 16) & 0xFFF, (e >> 28) != huffman.F_SYMBOL
 
     def substep(state):
-        i, bitpos, done, bad, kinds, values, dists = state
-        widx = (bitpos >> 5).astype(jnp.int32)
-        r = (bitpos & 31).astype(jnp.uint32)
-        lo = jnp.take_along_axis(words, widx[:, None], axis=1)[:, 0]
-        w1 = jnp.take_along_axis(words, (widx + 1)[:, None], axis=1)[:, 0]
-        w2 = jnp.take_along_axis(words, (widx + 2)[:, None], axis=1)[:, 0]
-        p0 = jnp.where(r == 0, lo, (lo >> r) | (w1 << ((32 - r) & 31)))
-        p1 = jnp.where(r == 0, w1, (w1 >> r) | (w2 << ((32 - r) & 31)))
+        i, widx, hlo, hhi, bits, done, bad, cmds = state
+        # three conditional 16-bit refills guarantee >= 48 buffered bits
+        widx, hlo, hhi, bits = refill16(widx, hlo, hhi, bits)
+        widx, hlo, hhi, bits = refill16(widx, hlo, hhi, bits)
+        widx, hlo, hhi, bits = refill16(widx, hlo, hhi, bits)
 
-        sym, nb, bad1 = resolve(lit_tabs, ROOT_LIT, p0)
-        consumed = nb
-        # length symbol path
+        sym, nb, bad1 = resolve(lit_tabs, ROOT_LIT, hlo)
         lsym = jnp.clip(sym - 257, 0, 28)
         leb = lextra[lsym]
-        lext = (p0 >> consumed.astype(jnp.uint32)) & ((jnp.uint32(1) << leb.astype(jnp.uint32)) - 1)
+        lext = (hlo >> nb.astype(u32)) & ((u32(1) << leb.astype(u32)) - u32(1))
         length = lbase[lsym] + lext.astype(jnp.int32)
-        consumed_len = consumed + leb
-        # distance symbol from the remaining bits (may cross into p1)
-        rem = (p0 >> consumed_len.astype(jnp.uint32)) | jnp.where(
-            consumed_len == 0, jnp.uint32(0), p1 << ((32 - consumed_len).astype(jnp.uint32) & 31)
-        )
-        dsym, dnb, bad2 = resolve(dist_tabs, ROOT_DIST, rem)
-        deb = dextra[jnp.clip(dsym, 0, 29)]
-        dext = (rem >> dnb.astype(jnp.uint32)) & ((jnp.uint32(1) << deb.astype(jnp.uint32)) - 1)
-        dist = dbase[jnp.clip(dsym, 0, 29)] + dext.astype(jnp.int32)
-
         is_lit = sym < 256
         is_end = sym == 256
         is_copy = sym > 256
-        total = jnp.where(
-            is_copy, consumed_len + dnb + deb, consumed
-        )
-        kind = jnp.where(is_end, 2, jnp.where(is_copy, 1, 0)).astype(jnp.int8)
-        value = jnp.where(is_copy, length, sym)
+        c1 = jnp.where(is_copy, nb + leb, nb)
+        hlo2, hhi2, bits2 = consume(hlo, hhi, bits, c1)
 
+        dsym, dnb, bad2 = resolve(dist_tabs, ROOT_DIST, hlo2)
+        deb = dextra[jnp.clip(dsym, 0, 29)]
+        dext = (hlo2 >> dnb.astype(u32)) & ((u32(1) << deb.astype(u32)) - u32(1))
+        dist = dbase[jnp.clip(dsym, 0, 29)] + dext.astype(jnp.int32)
+        c2 = jnp.where(is_copy, dnb + deb, 0)
+        hlo3, hhi3, bits3 = consume(hlo2, hhi2, bits2, c2)
+
+        kind = jnp.where(is_end, 2, jnp.where(is_copy, 1, 0))
+        value = jnp.where(is_copy, length, sym)
         new_bad = bad | (~done & (bad1 | (is_copy & (bad2 | (dsym > 29))) | (sym > 285)))
         write = ~done & ~new_bad
-        kinds = kinds.at[:, i].set(jnp.where(write, kind, kinds[:, i]))
-        values = values.at[:, i].set(jnp.where(write, value, values[:, i]))
-        dists = dists.at[:, i].set(jnp.where(write, dist, dists[:, i]))
-        bitpos = jnp.where(write, bitpos + total, bitpos)
+        # single packed row write: kind<<26 | dist<<10 | value
+        packed = (kind << 26) | (jnp.where(is_copy, dist, 0) << 10) | value
+        # each row is written exactly once (at iteration i); non-writing
+        # members record the end marker
+        packed = jnp.where(write, packed, 2 << 26)
+        cmds = cmds.at[i].set(packed)
+        keep = ~write
+        widx = jnp.where(keep, state[1], widx)
+        hlo3 = jnp.where(keep, hlo, hlo3)
+        hhi3 = jnp.where(keep, hhi, hhi3)
+        bits3 = jnp.where(keep, bits, bits3)
         done = done | is_end | new_bad
-        return i + 1, bitpos, done, new_bad, kinds, values, dists
+        return i + 1, widx, hlo3, hhi3, bits3, done, new_bad, cmds
 
     def step(state):
-        # four symbols per loop iteration: the while_loop's per-step op
-        # issue cost dominates at small batch, so unrolling amortizes it
+        # four symbols per loop iteration amortize the while_loop's
+        # per-step issue cost
         return substep(substep(substep(substep(state))))
 
     def cond(state):
-        i, _, done, _, _, _, _ = state
+        i, _, _, _, _, done, _, _ = state
         return (i < max_cmds - 3) & ~jnp.all(done)
 
-    kinds0 = jnp.full((b, max_cmds), 2, jnp.int8)
-    values0 = jnp.zeros((b, max_cmds), jnp.int32)
-    dists0 = jnp.zeros((b, max_cmds), jnp.int32)
+    # prime each member's window at its start bit (halfword cursor)
+    widx0 = (start_bits >> 5).astype(jnp.int32)
+    hlo0 = gather_word(widx0)
+    hhi0 = jnp.take_along_axis(
+        words, jnp.minimum(widx0 + 1, wmax - 1)[:, None], axis=1)[:, 0]
+    drop = (start_bits & 31).astype(jnp.int32)
+    hlo0, hhi0, bits0 = consume(hlo0, hhi0, jnp.full(b, 64, jnp.int32), drop)
+    widx0 = (widx0 + 2) * 2  # halfword index
+
+    cmds0 = jnp.full((max_cmds, b), 2 << 26, jnp.int32)  # row-major: one
+    # contiguous row write per symbol keeps the while-loop carry in place
     init = (
-        jnp.int32(0), start_bits.astype(jnp.int32),
+        jnp.int32(0), widx0, hlo0, hhi0, bits0,
         jnp.zeros(b, bool), jnp.zeros(b, bool),
-        kinds0, values0, dists0,
+        cmds0,
     )
-    i, bitpos, done, bad, kinds, values, dists = jax.lax.while_loop(cond, step, init)
+    out = jax.lax.while_loop(cond, step, init)
+    _, _, _, _, _, done, bad, cmds = out
+    cmds = cmds.T
+    kinds = (cmds >> 26).astype(jnp.int8)
+    values = cmds & 0x3FF
+    dists = (cmds >> 10) & 0xFFFF
     return kinds, values, dists, done & ~bad
 
 
