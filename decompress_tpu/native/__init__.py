@@ -66,6 +66,10 @@ def _load():
             ctypes.c_void_p, u8p, ctypes.c_uint32]
         lib.tpuz_inflate_takeback.restype = ctypes.c_int
         lib.tpuz_inflate_takeback.argtypes = [ctypes.c_void_p, u8p, ctypes.c_int]
+        lib.tpuz_expand_cmds.restype = ctypes.c_int
+        lib.tpuz_expand_cmds.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint64, u8p,
+            ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
         lib.tpuz_inflate_run.restype = ctypes.c_int
         lib.tpuz_inflate_run.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64),
@@ -138,6 +142,21 @@ def lzo1x_decompress(data, out_cap: int) -> bytes:
     if rc != 0:
         raise LzoNativeError(f"lzo1x_decompress failed: {rc}")
     return ctypes.string_at(out, n.value)
+
+
+def expand_cmds(cmds_u32: "object", out: "object") -> int:
+    """Expand packed decoder commands (kind<<26|dist<<10|value) into a
+    numpy uint8 buffer; returns produced byte count."""
+    lib = _load()
+    n = ctypes.c_uint64()
+    rc = lib.tpuz_expand_cmds(
+        ctypes.cast(cmds_u32.ctypes.data, ctypes.POINTER(ctypes.c_uint32)),
+        cmds_u32.size,
+        ctypes.cast(out.ctypes.data, ctypes.POINTER(ctypes.c_uint8)),
+        out.size, ctypes.byref(n))
+    if rc != 0:
+        raise ValueError(f"expand_cmds failed: {rc}")
+    return n.value
 
 
 class InflateStream:

@@ -886,3 +886,41 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LZ77 command expansion (host side of the member-parallel decoder):
+// cmds are packed kind<<26 | dist<<10 | value (kind 0=literal byte,
+// 1=copy of `value` bytes at `dist`, 2=end).
+// ---------------------------------------------------------------------------
+
+extern "C" int tpuz_expand_cmds(const uint32_t* cmds, uint64_t n_cmds,
+                                uint8_t* out, uint64_t cap,
+                                uint64_t* out_len) {
+  uint64_t op = 0;
+  for (uint64_t i = 0; i < n_cmds; i++) {
+    uint32_t c = cmds[i];
+    uint32_t kind = c >> 26;
+    if (kind == 2) break;
+    if (kind == 0) {
+      if (op >= cap) return TPUZ_E_OUTPUT;
+      out[op++] = (uint8_t)(c & 0x3ff);
+      continue;
+    }
+    uint32_t len = c & 0x3ff;
+    uint32_t dist = (c >> 10) & 0xffff;
+    if (dist == 0 || dist > op) return TPUZ_E_DATA;
+    if (op + len > cap) return TPUZ_E_OUTPUT;
+    const uint8_t* src = out + op - dist;
+    uint8_t* dst = out + op;
+    if (dist >= 8) {
+      uint32_t k = 0;
+      for (; k + 8 <= len; k += 8) memcpy(dst + k, src + k, 8);
+      for (; k < len; k++) dst[k] = src[k];
+    } else {
+      for (uint32_t k = 0; k < len; k++) dst[k] = src[k];
+    }
+    op += len;
+  }
+  *out_len = op;
+  return TPUZ_OK;
+}

@@ -249,6 +249,39 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
     return kinds, values, dists, done & ~bad
 
 
+@functools.partial(jax.jit, static_argnames=("max_cmds",))
+def decode_symbols_packed(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
+    """Like :func:`decode_symbols` but returns the packed [B, max_cmds]
+    command words directly (for host-side expansion) plus ok flags."""
+    kinds, values, dists, ok = decode_symbols(
+        words, start_bits, lit_tabs, dist_tabs, max_cmds
+    )
+    packed = (kinds.astype(jnp.int32) << 26) | (dists << 10) | values
+    return packed, ok
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def compact_commands(packed, ncmds, out_size: int):
+    """Ragged device-side compaction: concatenate each member's first
+    ncmds[b] packed commands into one flat buffer (gather-only), so the
+    host fetches ~sum(ncmds) words instead of the padded matrix."""
+    b, m = packed.shape
+    offsets = jnp.cumsum(ncmds)  # inclusive
+    starts = offsets - ncmds
+    j = jnp.arange(out_size, dtype=jnp.int32)
+    member = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32)
+    member = jnp.minimum(member, b - 1)
+    idx = jnp.clip(j - starts[member], 0, m - 1)
+    flat = packed[member, idx]
+    return jnp.where(j < offsets[-1], flat, 2 << 26)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def command_counts(kinds):
+    """Commands per member including the end marker."""
+    return jnp.argmax(kinds == 2, axis=1).astype(jnp.int32) + 1
+
+
 @functools.partial(jax.jit, static_argnames=("out_len", "max_rounds"))
 def expand_commands(kinds, values, dists, out_len: int, max_rounds: int | None = None):
     """LZ77 expansion: commands -> bytes, member-parallel.

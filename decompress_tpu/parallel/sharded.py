@@ -261,19 +261,50 @@ def sharded_gzip_decompress(archive) -> bytes:
         )
         if not bool(np.asarray(ok)[:m].all()):
             return gz.decompress(buf)
-        payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
-        lengths = np.asarray(lengths)
+        from .. import native
 
-        from ..ops import checksum as checksum_ops
+        if native.available():
+            # ragged-compact the command stream on device, expand on host
+            # (C++): fetches ~sum(ncmds) words instead of running the
+            # pointer-jump expansion rounds
+            packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
+            ncmds = np.asarray(inflate_ops.command_counts(kinds))
+            total = int(ncmds[:m].sum()) + int(ncmds[m:].sum())
+            out_size = _ceil_pow2_int(max(total, 1))
+            flat = np.asarray(
+                inflate_ops.compact_commands(packed, jnp.asarray(ncmds), out_size)
+            ).astype(np.uint32)
+            pos = 0
+            for row, i in enumerate(huff):
+                _, _, crc, isize = metas[i]
+                # padding rows before this member's row also occupy the
+                # flat buffer; track by cumulative count
+                start = int(ncmds[:row].sum())
+                seg = np.ascontiguousarray(flat[start : start + int(ncmds[row])])
+                outbuf = np.empty(isize + 4, np.uint8)
+                try:
+                    produced = native.expand_cmds(seg, outbuf)
+                except ValueError:
+                    crcs_ok = False
+                    break
+                if produced != isize or native.crc32(outbuf[:isize].tobytes()) != crc:
+                    crcs_ok = False
+                    break
+                results[i] = outbuf[:isize].tobytes()
+        else:
+            payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
+            lengths = np.asarray(lengths)
 
-        crcs = checksum_ops.crc32_batch_device(payload, np.asarray(lengths))
-        payload = np.asarray(payload)
-        for row, i in enumerate(huff):
-            _, _, crc, isize = metas[i]
-            if int(lengths[row]) != isize or int(crcs[row]) != crc:
-                crcs_ok = False
-                break
-            results[i] = payload[row, :isize].tobytes()
+            from ..ops import checksum as checksum_ops
+
+            crcs = checksum_ops.crc32_batch_device(payload, np.asarray(lengths))
+            payload = np.asarray(payload)
+            for row, i in enumerate(huff):
+                _, _, crc, isize = metas[i]
+                if int(lengths[row]) != isize or int(crcs[row]) != crc:
+                    crcs_ok = False
+                    break
+                results[i] = payload[row, :isize].tobytes()
 
     if crcs_ok:
         from .. import native
