@@ -245,11 +245,75 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
 
     seg = segment_size or SEGMENT_SIZE
     nseg = (n + seg - 1) // seg
-    for lo in range(0, nseg, MAX_DEVICE_BATCH):
-        hi = min(lo + MAX_DEVICE_BATCH, nseg)
-        _deflate_segments(w, arr, lo, hi, nseg, level, seg, lz77_ops,
-                          force_block=None if dynamic else "fixed")
+    _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops,
+                       force_block=None if dynamic else "fixed")
     return w.getvalue()
+
+
+#: batches dispatched ahead of the host planning stage (bounds memory
+#: while letting device analysis overlap host tree building / transfers)
+PIPELINE_DEPTH = 4
+
+
+def _build_batch(arr, seg_lo, seg_hi, seg, lz77_ops):
+    n = arr.size
+    b = seg_hi - seg_lo
+    b_pad = MAX_DEVICE_BATCH if b == MAX_DEVICE_BATCH else 1 << (b - 1).bit_length()
+    data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
+    n_valid = np.zeros(b_pad, dtype=np.int32)
+    hist_len = np.zeros(b_pad, dtype=np.int32)
+    for i, s in enumerate(range(seg_lo, seg_hi)):
+        start = s * seg
+        stop = min(start + seg, n)
+        n_valid[i] = stop - start
+        hl = min(lz77_ops.HIST, start)
+        hist_len[i] = hl
+        data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
+        data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
+    return data, n_valid, hist_len, b
+
+
+def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None):
+    """Pipelined segment compression: analysis for upcoming batches is
+    dispatched ahead (JAX async) while the host plans/assembles earlier
+    ones, hiding host time and transfers under device compute."""
+    import jax.numpy as jnp
+
+    batches = [
+        (lo, min(lo + MAX_DEVICE_BATCH, nseg))
+        for lo in range(0, nseg, MAX_DEVICE_BATCH)
+    ]
+    inflight: list = []
+
+    def dispatch(bi):
+        lo, hi = batches[bi]
+        data, n_valid, hist_len, b = _build_batch(arr, lo, hi, seg, lz77_ops)
+        d_data = jnp.asarray(data)
+        res = lz77_ops.lz77_analyze(
+            d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
+            level=level, seg_len=seg,
+        )
+        return (lo, hi, data, n_valid, hist_len, b, d_data, res)
+
+    for bi in range(min(PIPELINE_DEPTH, len(batches))):
+        inflight.append(dispatch(bi))
+    next_dispatch = len(inflight)
+
+    for bi in range(len(batches)):
+        lo, hi, data, n_valid, hist_len, b, d_data, res = inflight.pop(0)
+        if next_dispatch < len(batches):
+            inflight.append(dispatch(next_dispatch))
+            next_dispatch += 1
+        if not lz77_ops.LEVELS[level].exact and not bool(
+            np.asarray(res["exact"])[:b].all()
+        ):
+            # fingerprint overestimate (rare): redo this batch exactly
+            res = lz77_ops.lz77_analyze(
+                d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
+                level=level, seg_len=seg, force_exact=True,
+            )
+        _finish_batch(w, arr, lo, hi, nseg, level, seg, lz77_ops,
+                      data, n_valid, b, d_data, res, force_block)
 
 
 def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None,
@@ -313,36 +377,15 @@ def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None,
     return (hdr_vals, hdr_bits), tabs, kinds
 
 
-def _deflate_segments(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops,
-                      force_block=None):
+def _finish_batch(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops,
+                  data, n_valid, b, d_data, res, force_block=None):
+    """Host half of one batch: block planning, device pack, assembly."""
     import jax.numpy as jnp
 
-    n = arr.size
-    b = seg_hi - seg_lo
-    # full batches share one compiled variant; the final partial batch
-    # rounds up to a power of two (small set of tail variants)
-    b_pad = MAX_DEVICE_BATCH if b == MAX_DEVICE_BATCH else 1 << (b - 1).bit_length()
-    data = np.zeros((b_pad, lz77_ops.HIST + seg), dtype=np.uint8)
-    n_valid = np.zeros(b_pad, dtype=np.int32)
-    hist_len = np.zeros(b_pad, dtype=np.int32)
-    for i, s in enumerate(range(seg_lo, seg_hi)):
-        start = s * seg
-        stop = min(start + seg, n)
-        n_valid[i] = stop - start
-        hl = min(lz77_ops.HIST, start)
-        hist_len[i] = hl
-        data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
-        data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
-
-    d_data = jnp.asarray(data)
-    res = lz77_ops.analyze(
-        d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
-        level=level, seg_len=seg,
-    )
+    b_pad = data.shape[0]
     hist_lit = np.asarray(res["hist_lit"])
     hist_dist = np.asarray(res["hist_dist"])
 
-    # per-segment block decision + tree/header construction (host)
     final_flags = np.array(
         [(seg_lo + i) == nseg - 1 for i in range(b)], dtype=bool
     )

@@ -207,6 +207,15 @@ def _uncompress_python(data, output: bytearray | None = None, *,
     return bytes(out)
 
 
+def uncompress_into(data, output: np.ndarray) -> int:
+    """Decode into a caller-owned buffer; returns the byte count
+    (reference `uncompress : bigstring -> bigstring -> (int, error)
+    result` signature, lzo.mli:9–45)."""
+    out = uncompress(data, max_size=int(output.size))
+    output[: len(out)] = np.frombuffer(out, np.uint8)
+    return len(out)
+
+
 def uncompress_with_buffer(data) -> bytes:
     """Growable-output variant (reference Buffer interpreter,
     lzo.ml:199–216)."""
