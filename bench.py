@@ -26,13 +26,46 @@ def _median(xs):
     return xs[len(xs) // 2]
 
 
+def table_mode(levels=(6,)) -> int:
+    """Reference-style per-file table (bench/b.ml:98–157): compress and
+    decompress MB/s plus ratio, per corpus file per level."""
+    import zlib
+
+    from decompress_tpu import zl
+
+    corpus_dir = pathlib.Path(__file__).parent / "tests" / "corpus"
+    print(f"{'file':<14} {'lvl':>3} {'in':>8} {'out':>8} "
+          f"{'ratio':>6} {'comp MB/s':>10} {'decomp MB/s':>12}", flush=True)
+    for p in sorted(corpus_dir.iterdir()):
+        data = p.read_bytes()
+        for level in levels:
+            t0 = time.time()
+            comp = zl.deflate(data, level)
+            ct = time.time() - t0
+            assert zlib.decompress(comp) == data
+            t0 = time.time()
+            out = zl.inflate(comp)
+            dt = time.time() - t0
+            assert out == data
+            print(f"{p.name:<14} {level:>3} {len(data):>8} {len(comp):>8} "
+                  f"{len(comp)/len(data):>6.3f} {len(data)/ct/1e6:>10.2f} "
+                  f"{len(data)/dt/1e6:>12.2f}", flush=True)
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size-mb", type=int, default=8)
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--level", type=int, default=6)
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--table", action="store_true",
+                    help="reference-style per-file table (bench/b.ml parity)")
+    ap.add_argument("--levels", default="6",
+                    help="comma levels for --table (reference default 1,6,9)")
     args = ap.parse_args()
+    if args.table:
+        return table_mode(tuple(int(x) for x in args.levels.split(",")))
 
     corpus_dir = pathlib.Path(__file__).parent / "tests" / "corpus"
     base = b"".join(p.read_bytes() for p in sorted(corpus_dir.iterdir()))

@@ -14,14 +14,15 @@ splits the problem:
 
   1. hosts parse the tiny per-member block headers and build the
      two-level decode tables (the same construction as core/huffman);
-  2. a device ``while_loop`` decodes one symbol per member per
-     iteration — table lookups are gathers into per-member table rows,
-     bit extraction is pure arithmetic on a 64-bit peek window;
-  3. LZ77 expansion is the literal-scatter + copy-resolution scheme:
-     every output byte's *source* position is computed vectorized
-     (interval cover + modular overlap arithmetic), then copy-of-copy
-     chains are resolved by pointer-jumping rounds until all bytes are
-     literal-rooted (typical nesting depth is tiny).
+  2. a device ``while_loop`` decodes whole commands lockstep across
+     members from a carried 64-bit bit-window (16-bit conditional
+     refills); table lookups are gathers into per-member table rows;
+  3. LZ77 expansion: by default the used command prefixes are
+     ragged-compacted on device (gather-only) and expanded by the
+     native C++ runtime at memcpy speed; the fully-on-device
+     alternative (literal scatter + interval-cover source computation
+     + pointer-jumping copy resolution) serves device-resident
+     pipelines and toolchain-less hosts.
 
 Symbol throughput scales with batch size: the loop iteration count is
 the *maximum* command count over members, so wider batches decode more

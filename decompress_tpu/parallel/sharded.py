@@ -124,9 +124,19 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
         cap = (max(used) + 31) // 32 + 1 if used else 0
         words = np.asarray(words[:b, :cap]) if cap else np.zeros((b, 0), np.uint32)
         if want_crc:
-            crcs_all.extend(
-                checksum.crc32_batch_device(d_data[:, hist:], cnv)[:b]
-            )
+            from .. import native
+
+            if native.available():
+                # the member bytes are host-resident; native CRC avoids
+                # a device round-trip entirely
+                crcs_all.extend(
+                    native.crc32(cdata[i, hist : hist + int(cnv[i])].tobytes())
+                    for i in range(b)
+                )
+            else:
+                crcs_all.extend(
+                    checksum.crc32_batch_device(d_data[:, hist:], cnv)[:b]
+                )
 
         for i in range(b):
             if kinds[i] == "stored":
