@@ -131,16 +131,29 @@ def _fingerprints(w: jnp.ndarray) -> dict[int, jnp.ndarray]:
 
 
 def _run_length_scan(eq: jnp.ndarray) -> jnp.ndarray:
-    """r[i] = length of the run of True starting at i."""
-    x = eq.astype(jnp.int32)[::-1]
+    """r[i] = length of the run of True starting at i (suffix scan)."""
+    return _run_length_scan_multi(eq[None, :])[0]
+
+
+def _run_length_scan_multi(eqs: jnp.ndarray) -> jnp.ndarray:
+    """Batched suffix run-length scan: eqs bool[D, T] -> int32[D, T]
+    where out[d, i] = length of the True run starting at i.
+
+    Monoid over original order (A before B): run(AB) = A.full ?
+    A.run + B.run : A.run; one reverse associative scan over the last
+    axis, no materialized array flips.
+    """
+    x = eqs.astype(jnp.int32)
 
     def combine(a, b):
+        # reverse=True flips the sequence, so `b` is the segment that
+        # comes FIRST in original order
         run_a, full_a = a
         run_b, full_b = b
         return run_b + jnp.where(full_b, run_a, 0), full_a & full_b
 
-    run, _ = jax.lax.associative_scan(combine, (x, x == 1))
-    return run[::-1]
+    run, _ = jax.lax.associative_scan(combine, (x, eqs), axis=1, reverse=True)
+    return run
 
 
 def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
@@ -241,12 +254,14 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
         length = jnp.where(has & (btier == 1) & (length < 3), 3, length)
         length = jnp.where(has, length, 0)
 
-    # ---- exact small-distance (RLE-ish) candidates via scans ----
-    for d in (1, 2, 3, 4):
-        eq_d = data_u8 == jnp.roll(data_u8, d)
-        run = _run_length_scan(eq_d)
+    # ---- exact small-distance (RLE-ish) candidates via one batched
+    # suffix scan over all four distances ----
+    small_d = (1, 2, 3, 4)
+    eqs = jnp.stack([data_u8 == jnp.roll(data_u8, d) for d in small_d])
+    runs = _run_length_scan_multi(eqs)
+    for di, d in enumerate(small_d):
         src_ok = (pos - d >= valid_lo) & (pos < valid_hi)
-        len_d = jnp.where(src_ok, jnp.minimum(run, MAX_MATCH), 0)
+        len_d = jnp.where(src_ok, jnp.minimum(runs[di], MAX_MATCH), 0)
         better = (len_d > length) | ((len_d == length) & (d < bdist))
         bdist = jnp.where(better, d, bdist)
         length = jnp.where(better, len_d, length)
