@@ -205,12 +205,10 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
     plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
     len8 = len4 & (x8 == 0)
     eq16 = (fp[16][safe] == fp[16][:, None]) & len8
-    eq64 = (fp[64][safe] == fp[64][:, None]) & eq16
     grade = (
         jnp.where(ok, plen4, 0)
         + plen8
         + jnp.where(eq16, 8, 0)
-        + jnp.where(eq64, 48, 0)
     )
     usable = ok & (plen4 >= 3)
     score = (grade << 17) - dist
