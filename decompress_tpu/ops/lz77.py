@@ -156,79 +156,104 @@ def _run_length_scan_multi(eqs: jnp.ndarray) -> jnp.ndarray:
     return run
 
 
-def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
-    """Best match (length, dist) at every position of one segment.
+def _shift_prev(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
+    """a shifted right by k along axis 0 (previous-rank neighbour)."""
+    return jnp.concatenate([jnp.full(k, fill, a.dtype), a[: a.shape[0] - k]])
 
-    data_u8: uint8[T]; valid data occupies [valid_lo, valid_hi).
-    Returns (length int32[T], dist int32[T]); length < MIN_MATCH means
-    no match.  Lengths from fingerprint descent may overestimate on
-    fingerprint collision — callers run the exact verification pass.
+
+def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
+    """Best match (length, dist) at every *payload* position of one
+    segment.
+
+    data_u8: uint8[T] (T = HIST + seg_len); valid data occupies
+    [valid_lo, valid_hi).  Returns (length int32[seg_len], dist
+    int32[seg_len]) covering positions [HIST, T); length < MIN_MATCH
+    means no match.  Lengths from fingerprint descent may overestimate
+    on fingerprint collision — callers run the exact verification pass.
+
+    Candidate probing happens in **rank space**: after sorting
+    ``(hash, pos)``, a position's K most recent same-hash predecessors
+    are its K previous sorted rows, so the probe values (exact 4-byte
+    word, second word, 16-byte fingerprint) are *static shifts* of the
+    three sorted probe arrays — three [T] gathers total instead of
+    three [T, K] gathers (the dominant gather volume of the analyze
+    graph).  Only the per-position winner is scattered back to
+    position space.
     """
     t = data_u8.shape[0]
-    pos = jnp.arange(t, dtype=jnp.int32)
+    seg_len = t - HIST
     w = _u32_words(data_u8)
     fp = _fingerprints(w)
 
     h = ((w * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
 
     # ---- sorted-bucket candidates (depth-K hash chain equivalent) ----
+    pos = jnp.arange(t, dtype=jnp.int32)
     sh, sp = jax.lax.sort((h, pos), num_keys=2)
-    cands = []
-    for k in range(cfg.k_candidates):
-        prev_p = jnp.concatenate([jnp.full(k + 1, -1, jnp.int32), sp[: t - k - 1]])
-        prev_h = jnp.concatenate([jnp.full(k + 1, -1, jnp.int32), sh[: t - k - 1]])
-        cands.append(jnp.where(prev_h == sh, prev_p, -1))
-    cand_sorted = jnp.stack(cands, axis=1)  # [T, K] in rank space
-    inv = jnp.zeros(t, jnp.int32).at[sp].set(pos, unique_indices=True)
-    cand = cand_sorted[inv]  # [T, K] in position space
+    # rank-space probe arrays: one gather each
+    w_s = w[sp]
+    w4_s = jnp.roll(w, -4)[sp]
+    f16_s = fp[16][sp]
 
-    dist = pos[:, None] - cand
-    ok = (
-        (cand >= 0)
-        & (dist <= tables.WINDOW_SIZE)
-        & (cand >= valid_lo)
-        & (cand < valid_hi)
-        & (pos[:, None] < valid_hi)
-    )
+    sp_ok = sp < valid_hi
+    neg_inf = jnp.int32(-(1 << 30))
+    best_score = jnp.full(t, neg_inf)
+    best_cand = jnp.zeros(t, jnp.int32)
+    best_p4 = jnp.zeros(t, jnp.int32)
+    for k in range(1, cfg.k_candidates + 1):
+        cand_p = _shift_prev(sp, k, -1)
+        cand_h = _shift_prev(sh, k, -1)
+        dist = sp - cand_p
+        ok = (
+            (cand_p >= 0)
+            & (cand_h == sh)
+            & (dist <= tables.WINDOW_SIZE)
+            & (cand_p >= valid_lo)
+            & (cand_p < valid_hi)
+            & sp_ok
+        )
+        x4 = _shift_prev(w_s, k, jnp.uint32(0)) ^ w_s
+        plen4 = _prefix_bytes_equal(x4)
+        len4 = (x4 == 0) & ok
+        # second exact word: precise grading over the 4..8-byte range
+        # where most text matches live
+        x8 = _shift_prev(w4_s, k, jnp.uint32(0)) ^ w4_s
+        plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
+        len8 = len4 & (x8 == 0)
+        eq16 = (_shift_prev(f16_s, k, jnp.uint32(0)) == f16_s) & len8
+        grade = jnp.where(ok, plen4, 0) + plen8 + jnp.where(eq16, 8, 0)
+        usable = ok & (plen4 >= 3)
+        score = jnp.where(usable, (grade << 17) - dist, neg_inf)
+        better = score > best_score  # first max wins: argmax parity
+        best_score = jnp.where(better, score, best_score)
+        best_cand = jnp.where(better, cand_p, best_cand)
+        best_p4 = jnp.where(better, plen4, best_p4)
 
-    # ---- graded scoring: exact 0..4-byte prefix + 8/16/64-byte
-    # fingerprint probes (a 0..68 length proxy, 4 gathers/candidate) ----
-    safe = jnp.maximum(cand, 0)
-    g4 = w[safe]
-    x4 = g4 ^ w[:, None]
-    plen4 = _prefix_bytes_equal(x4)
-    len4 = (x4 == 0) & ok
-    # second exact word: precise grading over the 4..8-byte range where
-    # most text matches live
-    g8 = jnp.roll(w, -4)[jnp.minimum(safe, t - 1)]
-    x8 = g8 ^ jnp.roll(w, -4)[:, None]
-    plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
-    len8 = len4 & (x8 == 0)
-    eq16 = (fp[16][safe] == fp[16][:, None]) & len8
-    grade = (
-        jnp.where(ok, plen4, 0)
-        + plen8
-        + jnp.where(eq16, 8, 0)
+    # winner back to position space: one packed scatter
+    btier_r = jnp.where(best_p4 >= 4, 2, 1)  # 1 = exactly-3-byte candidate
+    has_r = best_score > neg_inf
+    packed_r = (
+        (jnp.maximum(best_cand, 0) << 3)
+        | (btier_r << 1)
+        | has_r.astype(jnp.int32)
     )
-    usable = ok & (plen4 >= 3)
-    score = (grade << 17) - dist
-    score = jnp.where(usable, score, jnp.int32(-(1 << 30)))
-    best_k = jnp.argmax(score, axis=1)
-    busable = jnp.take_along_axis(usable, best_k[:, None], axis=1)[:, 0]
-    bp4 = jnp.take_along_axis(plen4, best_k[:, None], axis=1)[:, 0]
-    bcand = jnp.take_along_axis(cand, best_k[:, None], axis=1)[:, 0]
-    bdist = pos - bcand
-    has = busable
-    btier = jnp.where(bp4 >= 4, 2, 1)  # 1 = exactly-3-byte candidate
+    packed = (
+        jnp.zeros(t, jnp.int32).at[sp].set(packed_r, unique_indices=True)
+    )[HIST:]
+    has = (packed & 1) == 1
+    btier = (packed >> 1) & 3
+    bcand = packed >> 3
+    pos_pay = jnp.arange(seg_len, dtype=jnp.int32) + HIST
+    bdist = pos_pay - bcand
     bsafe = jnp.where(has, bcand, 0)
 
     if cfg.exact:
         # exact linear extension in 4-byte steps (level 9 / fallback)
-        length = jnp.where(has, jnp.int32(0), 0)
+        length = jnp.zeros(seg_len, jnp.int32)
         alive = has
         for off in range(0, MAX_MATCH + 4, 4):
             gj = w[jnp.minimum(bsafe + off, t - 1)]
-            wj = w[jnp.minimum(pos + off, t - 1)]
+            wj = w[jnp.minimum(pos_pay + off, t - 1)]
             eq = _prefix_bytes_equal(gj ^ wj)
             length = length + jnp.where(alive, eq, 0)
             alive = alive & (eq == 4)
@@ -236,16 +261,16 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
         # doubling LCP descent over the fingerprint pyramid.
         # spans 4 and the final refine are exact; larger spans are
         # fingerprints (verified later).
-        length = jnp.zeros(t, jnp.int32)
+        length = jnp.zeros(seg_len, jnp.int32)
         for span in (256, 128, 64, 32, 16, 8, 4):
             idx_c = jnp.minimum(bsafe + length, t - 1)
-            idx_i = jnp.minimum(pos + length, t - 1)
+            idx_i = jnp.minimum(pos_pay + length, t - 1)
             f = fp[span]
             eq = (f[idx_c] == f[idx_i]) & has & (length + span <= MAX_MATCH + 4)
             length = length + jnp.where(eq, span, 0)
         # final 0..3 byte refine with the exact word
         idx_c = jnp.minimum(bsafe + length, t - 1)
-        idx_i = jnp.minimum(pos + length, t - 1)
+        idx_i = jnp.minimum(pos_pay + length, t - 1)
         rem = _prefix_bytes_equal(w[idx_c] ^ w[idx_i])
         length = length + jnp.where(has, jnp.minimum(rem, 3), 0)
         # tier-1 candidates matched only 3 bytes
@@ -253,12 +278,14 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
         length = jnp.where(has, length, 0)
 
     # ---- exact small-distance (RLE-ish) candidates via one batched
-    # suffix scan over all four distances ----
+    # suffix scan over all four distances (payload rows only) ----
     small_d = (1, 2, 3, 4)
-    eqs = jnp.stack([data_u8 == jnp.roll(data_u8, d) for d in small_d])
+    eqs = jnp.stack(
+        [(data_u8 == jnp.roll(data_u8, d))[HIST:] for d in small_d]
+    )
     runs = _run_length_scan_multi(eqs)
     for di, d in enumerate(small_d):
-        src_ok = (pos - d >= valid_lo) & (pos < valid_hi)
+        src_ok = (pos_pay - d >= valid_lo) & (pos_pay < valid_hi)
         len_d = jnp.where(src_ok, jnp.minimum(runs[di], MAX_MATCH), 0)
         better = (len_d > length) | ((len_d == length) & (d < bdist))
         bdist = jnp.where(better, d, bdist)
@@ -266,7 +293,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
 
     # clamp to data end and legality
     length = jnp.minimum(length, MAX_MATCH)
-    length = jnp.minimum(length, jnp.maximum(valid_hi - pos, 0))
+    length = jnp.minimum(length, jnp.maximum(valid_hi - pos_pay, 0))
     too_far = (length == MIN_MATCH) & (bdist > TOO_FAR)
     length = jnp.where(too_far, 0, length)
     length = jnp.where(length >= MIN_MATCH, length, 0)
@@ -293,6 +320,58 @@ def _mark_path(g: jnp.ndarray, levels: int) -> jnp.ndarray:
         blk = idx >> k
         is_right = (blk & 1) == 1
         mid = blk << k  # start of i's own level-k block
+        stepped = exits[k][jnp.minimum(entry, p - 1)]
+        entry = jnp.where(is_right & (entry < mid), stepped, entry)
+    return entry == idx
+
+
+#: hybrid-parse block size exponent (block = 2**_PARSE_C positions)
+_PARSE_C = 8
+
+
+def _mark_path_hybrid(g: jnp.ndarray, levels: int, c: int = _PARSE_C) -> jnp.ndarray:
+    """Same result as :func:`_mark_path`, cheaper on TPU.
+
+    Pointer-doubling exit tables are built only up to 2^c-sized blocks
+    (``c`` full-domain gather passes instead of ``levels``); the walk
+    across blocks is then resolved by one `lax.scan` over P/2^c blocks
+    (a single dynamic gather per step — sequential but tiny), and the
+    per-position entry refinement runs top-down only over the ``c``
+    fine levels.  Full-domain gather passes drop from 2*levels to ~2*c.
+    """
+    if levels <= c:
+        return _mark_path(g, levels)
+    p = g.shape[0]
+    cs = 1 << c
+    nblocks = p >> c
+    idx = jnp.arange(p, dtype=jnp.int32)
+    exits = [g]
+    for k in range(1, c + 1):
+        prev = exits[-1]
+        end_k = ((idx >> k) + 1) << k
+        e1 = prev
+        exits.append(jnp.where(e1 >= end_k, e1, prev[jnp.minimum(e1, p - 1)]))
+    exit_c = exits[c]
+
+    # coarse walk over 2^c blocks: carry = first walk value >= block start
+    def blk_step(w, j):
+        entry_j = w
+        in_blk = w < (j + 1) << c
+        w = jnp.where(in_blk, exit_c[jnp.minimum(w, p - 1)], w)
+        return w, entry_j
+
+    # carry init derives from g so it inherits g's varying manual axes
+    # (plain jnp.int32(0) breaks lax.scan under shard_map)
+    _, block_entry = jax.lax.scan(
+        blk_step, g[0] * 0, jnp.arange(nblocks, dtype=jnp.int32)
+    )
+
+    # fine top-down refinement within each 2^c block
+    entry = block_entry[idx >> c]
+    for k in range(c - 1, -1, -1):
+        blk = idx >> k
+        is_right = (blk & 1) == 1
+        mid = blk << k
         stepped = exits[k][jnp.minimum(entry, p - 1)]
         entry = jnp.where(is_right & (entry < mid), stepped, entry)
     return entry == idx
@@ -348,6 +427,8 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     a fingerprint overestimated somewhere: re-run with the exact
     config — the de driver handles this).
     """
+    import os
+    _ablate = os.environ.get("DECOMPRESS_TPU_LZ77_ABLATE", "")
     cfg = LEVELS[level]
     if force_exact and not cfg.exact:
         cfg = LevelConfig(cfg.k_candidates, cfg.lazy, True)
@@ -358,35 +439,42 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     def one(seg, n, hl):
         valid_lo = HIST - hl
         valid_hi = HIST + n
-        length, dist = _match_candidates(seg, valid_lo, valid_hi, cfg)
+        if _ablate == "cand":
+            length = jnp.where(seg[HIST:].astype(jnp.int32) > 128, 4, 0)
+            dist = jnp.full(seg_len, 7, jnp.int32)
+        else:
+            length, dist = _match_candidates(seg, valid_lo, valid_hi, cfg)
 
-        posn = jnp.arange(t, dtype=jnp.int32)
-        in_payload = (posn >= HIST) & (posn < valid_hi)
-        length = jnp.where(in_payload, length, 0)
+        # payload-domain arrays: position i here is absolute HIST + i
+        pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+        length = jnp.where(pay_idx < n, length, 0)
 
         if cfg.lazy:
             nxt_len = jnp.concatenate([length[1:], jnp.zeros(1, jnp.int32)])
             defer = nxt_len > length
         else:
-            defer = jnp.zeros(t, bool)
-        take_full = (length >= MIN_MATCH) & ~defer
+            defer = jnp.zeros(seg_len, bool)
+        take = (length >= MIN_MATCH) & ~defer
+        plen = length
 
         # parse over the payload-only domain [0, P)
-        take = take_full[HIST:t]
-        plen = length[HIST:t]
         ppos = jnp.arange(p, dtype=jnp.int32)
         g = jnp.minimum(ppos + 1, p - 1)
         step = jnp.where(take, plen, 1)
         g = g.at[:seg_len].set(
             jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p - 1)
         )
-        on_path_full = _mark_path(g, levels)
+        if _ablate == "parse":
+            on_path_full = g > jnp.flip(g)  # data-dependent placeholder
+        elif _ablate == "fullparse":
+            on_path_full = _mark_path(g, levels)
+        else:
+            on_path_full = _mark_path_hybrid(g, levels)
 
-        pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
         on_path = on_path_full[:seg_len] & (pay_idx < n)
         is_match = on_path & take
         mlen = jnp.where(is_match, plen, 0)
-        mdist = jnp.where(is_match, dist[HIST:t], 0)
+        mdist = jnp.where(is_match, dist, 0)
 
         exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n)
 

@@ -159,3 +159,27 @@ def test_inflate_into_parity():
     small = np.zeros(10, np.uint8)
     with pytest.raises(de.MalformedError, match="output"):
         de.inflate_into(comp, small)
+
+
+def test_mark_path_hybrid_equivalence():
+    """Hybrid (doubling+scan) parse == full pointer-doubling == a serial
+    walk, on random jump graphs of both parse-domain shapes."""
+    import jax.numpy as jnp
+
+    from decompress_tpu.ops import lz77
+
+    rng = np.random.default_rng(7)
+    for levels, c in [(13, 6), (13, 8), (10, 8), (8, 8)]:
+        p = 1 << levels
+        step = np.where(rng.random(p) < 0.6, rng.integers(3, 258, p), 1)
+        g = np.minimum(np.arange(p) + step, p - 1).astype(np.int32)
+        full = np.asarray(lz77._mark_path(jnp.asarray(g), levels))
+        hyb = np.asarray(lz77._mark_path_hybrid(jnp.asarray(g), levels, c))
+        truth = np.zeros(p, bool)
+        i = 0
+        while i < p - 1:
+            truth[i] = True
+            i = g[i]
+        truth[p - 1] = True
+        assert (full == truth).all()
+        assert (hyb == truth).all()
