@@ -568,29 +568,32 @@ static void build_fixed(TpuzInflate* s) {
   huff_build(&s->dist, dl, 32, 8, 0);
 }
 
-int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
-                     uint64_t* src_pos, uint8_t* dst, uint64_t dst_cap,
+int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
+                     uint64_t src_len, uint64_t* src_pos,
+                     uint8_t* __restrict dst, uint64_t dst_cap,
                      uint64_t* dst_pos) {
   uint64_t sp = *src_pos;
   uint64_t dp = *dst_pos;
   uint64_t hold = s->hold;
   int bits = s->bits;
+  const uint64_t tout0 = s->total_out;  // total_out == tout0 + (dp - dp_entry)
   const uint64_t sp_entry = sp;
 
   const uint64_t dp_entry = dp;
+#define TOUT ((uint64_t)(tout0 + (dp - dp_entry)))
 #define MIRROR() do { \
     uint64_t prod = dp - dp_entry; \
     uint64_t take = prod > 32768 ? 32768 : prod; \
     for (uint64_t k = take; k > 0; k--) \
-      s->window[(s->total_out - k) & 32767] = dst[dp - k]; \
+      s->window[(TOUT - k) & 32767] = dst[dp - k]; \
   } while (0)
-#define SAVE() do { MIRROR(); s->hold = hold; s->bits = bits; *src_pos = sp; *dst_pos = dp; } while (0)
+#define SAVE() do { MIRROR(); s->hold = hold; s->bits = bits; s->total_out = TOUT; *src_pos = sp; *dst_pos = dp; } while (0)
 #define AWAIT() do { SAVE(); return TPUZ_AWAIT; } while (0)
 #define FLUSHED() do { SAVE(); return TPUZ_FLUSH; } while (0)
 #define BAD(msg) do { s->mode = M_BAD; s->err = msg; SAVE(); return TPUZ_MALFORMED; } while (0)
 #define NEEDBITS(k) do { while (bits < (int)(k)) { if (sp >= src_len) AWAIT(); hold |= (uint64_t)src[sp++] << bits; bits += 8; } } while (0)
 #define DROPBITS(k) do { hold >>= (k); bits -= (k); } while (0)
-#define OUTBYTE(b) do { dst[dp++] = (uint8_t)(b); s->total_out++; } while (0)
+#define OUTBYTE(b) do { dst[dp++] = (uint8_t)(b); } while (0)
 
 #define DECODE(H, RB, EVAR) \
   for (;;) { \
@@ -722,12 +725,23 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
         // refill checks (15+5+15+13 = 48 max), and 260 output bytes
         // cover any copy. Falls through to the careful path otherwise.
         for (;;) {
-          while (bits <= 32 && sp + 4 <= src_len) {
-            uint32_t _w; memcpy(&_w, src + sp, 4);
-            hold |= (uint64_t)_w << bits; bits += 32; sp += 4;
-          }
-          while (bits <= 56 && sp < src_len) {
-            hold |= (uint64_t)src[sp++] << bits; bits += 8;
+          if (bits < 56) {  // careful paths can leave bits up to 64
+            if (sp + 8 <= src_len) {
+              // branch-free refill: one 8-byte load tops the hold up
+              // to 56..63 bits; sp advances by the bytes that fully fit
+              uint64_t _w; memcpy(&_w, src + sp, 8);
+              hold |= _w << bits;
+              sp += (63 - bits) >> 3;
+              bits |= 56;
+              // keep the state-machine invariant: hold is zero above
+              // `bits` (stored blocks read src directly; stale
+              // duplicate bits of the next byte would corrupt refills)
+              hold &= ~0ull >> (64 - bits);
+            } else {
+              while (bits <= 56 && sp < src_len) {
+                hold |= (uint64_t)src[sp++] << bits; bits += 8;
+              }
+            }
           }
           if (bits < 48 || dst_cap - dp < 260) break;
           int32_t e = s->lit.table[hold & ((1 << 10) - 1)];
@@ -736,7 +750,23 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
           if (E_FLAGS(e) != F_SYMBOL) BAD("invalid literal/length");
           int sym = E_VALUE(e);
           DROPBITS(E_NBITS(e));
-          if (sym < 256) { OUTBYTE(sym); continue; }
+          if (sym < 256) {
+            // literal chain: >=48 bits at entry leave >=33 after one
+            // 15-bit code, so two more root-resolved literals always
+            // have their bits buffered (root peek 10, code <= 15)
+            dst[dp++] = (uint8_t)sym;
+            e = s->lit.table[hold & ((1 << 10) - 1)];
+            if (E_FLAGS(e) == F_SYMBOL && (sym = E_VALUE(e)) < 256) {
+              DROPBITS(E_NBITS(e));
+              dst[dp++] = (uint8_t)sym;
+              e = s->lit.table[hold & ((1 << 10) - 1)];
+              if (E_FLAGS(e) == F_SYMBOL && (sym = E_VALUE(e)) < 256) {
+                DROPBITS(E_NBITS(e));
+                dst[dp++] = (uint8_t)sym;
+              }
+            }
+            continue;
+          }
           if (sym == 256) { s->mode = s->final_block ? M_DONE : M_HEAD; goto sym_done; }
           if (sym > 285) BAD("invalid literal/length");
           {
@@ -753,7 +783,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
             int deb = DIST_EXTRA[ds];
             uint32_t dist = DIST_BASE[ds] + (uint32_t)(hold & ((1u << deb) - 1));
             DROPBITS(deb);
-            if (dist > s->total_out) BAD("invalid distance");
+            if (dist > TOUT) BAD("invalid distance");
             uint64_t produced = dp - dp_entry;
             if (dist <= produced) {
               const uint8_t* srcp = dst + dp - dist;
@@ -766,12 +796,11 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
                 for (uint32_t k = 0; k < len; k++) dstp[k] = srcp[k];
               }
               dp += len;
-              s->total_out += len;
             } else {
               for (uint32_t k = 0; k < len; k++) {
                 uint8_t b = (dist <= (uint64_t)(dp - dp_entry))
                     ? dst[dp - dist]
-                    : s->window[(s->total_out - dist) & 32767];
+                    : s->window[(TOUT - dist) & 32767];
                 OUTBYTE(b);
               }
             }
@@ -827,7 +856,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
         NEEDBITS(eb);
         s->copy_dist = DIST_BASE[s->rep_sym] + (hold & ((1u << eb) - 1));
         DROPBITS(eb);
-        if (s->copy_dist > s->total_out) BAD("invalid distance");
+        if (s->copy_dist > TOUT) BAD("invalid distance");
         s->mode = M_COPY;
         break;
       }
@@ -848,7 +877,6 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
             for (uint64_t k = 0; k < n; k++) dstp[k] = srcp[k];
           }
           dp += n;
-          s->total_out += n;
           s->copy_len -= (uint32_t)n;
           if (s->copy_len > 0) FLUSHED();
         } else {
@@ -860,7 +888,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* src, uint64_t src_len,
             if (back <= (uint64_t)(dp - dp_entry))
               b = dst[dp - back];
             else
-              b = s->window[(s->total_out - back) & 32767];
+              b = s->window[(TOUT - back) & 32767];
             OUTBYTE(b);
             s->copy_len--;
           }
