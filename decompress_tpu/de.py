@@ -221,12 +221,30 @@ def _emit_stored(w: bitstream.BitWriter, payload: np.ndarray, final: bool) -> No
         w.write_bytes(payload[lo:hi])
 
 
+def compress_bound(n: int, segment_size: int | None = None) -> int:
+    """Upper bound on :func:`deflate` output size for any level
+    (`Def.Ns.compress_bound` parity, de.ml:3993–3996).
+
+    The planner never emits a block bigger than its stored encoding
+    (exact 3-way cost, de.ml:3620–3692), so the bound is the stored
+    worst case — up to 6 bytes of header + alignment per emitted
+    stored chunk, one per min(segment, 65535) bytes — plus slack for
+    the final empty block."""
+    chunk = min(segment_size or SEGMENT_SIZE, 65535)
+    return n + 6 * (n // chunk + 1) + 16
+
+
 def deflate(data, level: int = 6, *, segment_size: int | None = None,
-            dynamic: bool = True) -> bytes:
+            dynamic: bool = True, window_bits: int = 15) -> bytes:
     """One-shot DEFLATE compress (TPU pipeline; level 0 = stored).
 
     ``dynamic=False`` forces fixed-Huffman blocks (the reference
-    Zl.Def ``~dynamic`` knob, zl.ml:560)."""
+    Zl.Def ``~dynamic`` knob, zl.ml:560).  ``window_bits`` (8..15)
+    restricts match distances to a small window (`make_window ~bits`
+    parity, de.ml:331–333) so the stream decodes with a 2^bits-byte
+    window."""
+    if not 8 <= window_bits <= 15:
+        raise ValueError("window_bits must be in 8..15")
     arr = _np_u8(data)
     n = arr.size
     w = bitstream.BitWriter()
@@ -246,7 +264,8 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
     seg = segment_size or SEGMENT_SIZE
     nseg = (n + seg - 1) // seg
     _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops,
-                       force_block=None if dynamic else "fixed")
+                       force_block=None if dynamic else "fixed",
+                       window_bits=window_bits)
     return w.getvalue()
 
 
@@ -273,7 +292,8 @@ def _build_batch(arr, seg_lo, seg_hi, seg, lz77_ops):
     return data, n_valid, hist_len, b
 
 
-def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None):
+def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
+                       window_bits=15):
     """Pipelined segment compression: analysis for upcoming batches is
     dispatched ahead (JAX async) while the host plans/assembles earlier
     ones, hiding host time and transfers under device compute."""
@@ -291,7 +311,7 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None):
         d_data = jnp.asarray(data)
         res = lz77_ops.lz77_analyze(
             d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
-            level=level, seg_len=seg,
+            level=level, seg_len=seg, window_bits=window_bits,
         )
         return (lo, hi, data, n_valid, hist_len, b, d_data, res)
 
@@ -311,6 +331,7 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None):
             res = lz77_ops.lz77_analyze(
                 d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
                 level=level, seg_len=seg, force_exact=True,
+                window_bits=window_bits,
             )
         _finish_batch(w, arr, lo, hi, nseg, level, seg, lz77_ops,
                       data, n_valid, b, d_data, res, force_block)

@@ -161,7 +161,8 @@ def _shift_prev(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
     return jnp.concatenate([jnp.full(k, fill, a.dtype), a[: a.shape[0] - k]])
 
 
-def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
+def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
+                      max_dist: int = tables.WINDOW_SIZE):
     """Best match (length, dist) at every *payload* position of one
     segment.
 
@@ -207,7 +208,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig):
         ok = (
             (cand_p >= 0)
             & (cand_h == sh)
-            & (dist <= tables.WINDOW_SIZE)
+            & (dist <= max_dist)
             & (cand_p >= valid_lo)
             & (cand_p < valid_hi)
             & sp_ok
@@ -326,7 +327,9 @@ def _mark_path(g: jnp.ndarray, levels: int) -> jnp.ndarray:
 
 
 #: hybrid-parse block size exponent (block = 2**_PARSE_C positions)
-_PARSE_C = 8
+import os as _os
+
+_PARSE_C = int(_os.environ.get("DECOMPRESS_TPU_PARSE_C", "8"))
 
 
 def _mark_path_hybrid(g: jnp.ndarray, levels: int, c: int = _PARSE_C) -> jnp.ndarray:
@@ -398,24 +401,31 @@ def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n):
     return jnp.all(jnp.where(covered, eq, True))
 
 
-def analyze(data, n_valid, hist_len, *, level: int, seg_len: int):
+def analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
+            window_bits: int = 15):
     """Host wrapper around :func:`lz77_analyze` that retries with the
     exact-extension configuration when the verification pass reports a
     fingerprint overestimate (roughly a once-per-hundreds-of-MB event);
-    results are therefore always byte-exact."""
-    res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len)
+    results are therefore always byte-exact.
+
+    ``window_bits`` (8..15) restricts match distances for small
+    user-provided windows (make_window ~bits, de.ml:331-333)."""
+    res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len,
+                       window_bits=window_bits)
     if LEVELS[level].exact:
         return res
     if bool(np.asarray(res["exact"]).all()):
         return res
     return lz77_analyze(
-        data, n_valid, hist_len, level=level, seg_len=seg_len, force_exact=True
+        data, n_valid, hist_len, level=level, seg_len=seg_len,
+        force_exact=True, window_bits=window_bits,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("level", "seg_len", "force_exact"))
+@functools.partial(jax.jit, static_argnames=("level", "seg_len", "force_exact",
+                                             "window_bits"))
 def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
-                 force_exact: bool = False):
+                 force_exact: bool = False, window_bits: int = 15):
     """Match-find + parse a batch of segments.
 
     data: uint8[B, HIST + seg_len] — 32 KiB history prefix then payload
@@ -443,7 +453,9 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
             length = jnp.where(seg[HIST:].astype(jnp.int32) > 128, 4, 0)
             dist = jnp.full(seg_len, 7, jnp.int32)
         else:
-            length, dist = _match_candidates(seg, valid_lo, valid_hi, cfg)
+            length, dist = _match_candidates(
+                seg, valid_lo, valid_hi, cfg, max_dist=1 << window_bits
+            )
 
         # payload-domain arrays: position i here is absolute HIST + i
         pay_idx = jnp.arange(seg_len, dtype=jnp.int32)

@@ -31,16 +31,20 @@ def _flevel(level: int) -> int:
 
 
 def deflate(data, level: int = 6, *, segment_size: int | None = None,
-            dynamic: bool = True) -> bytes:
+            dynamic: bool = True, window_bits: int = 15) -> bytes:
     """One-shot zlib compress (Zl.Def.Ns parity, zl.ml:594–630);
-    ``dynamic=False`` forces fixed-tree blocks (zl.ml:560)."""
+    ``dynamic=False`` forces fixed-tree blocks (zl.ml:560);
+    ``window_bits`` (8..15) emits the matching CINFO and restricts
+    match distances (the reference derives CINFO from the user window,
+    zl.ml:509–522)."""
     data = de._np_u8(data)
-    cmf = 0x78  # CM=8 (deflate), CINFO=7 (32 KiB window)
+    cmf = 0x08 | ((window_bits - 8) << 4)  # CM=8 (deflate) + CINFO
     flg = _flevel(level) << 6
     rem = (cmf * 256 + flg) % 31
     if rem:
         flg += 31 - rem
-    body = de.deflate(data, level, segment_size=segment_size, dynamic=dynamic)
+    body = de.deflate(data, level, segment_size=segment_size, dynamic=dynamic,
+                      window_bits=window_bits)
     adler = checksum.adler32(data)
     return bytes([cmf, flg]) + body + adler.to_bytes(4, "big")
 

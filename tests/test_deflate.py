@@ -183,3 +183,39 @@ def test_mark_path_hybrid_equivalence():
         truth[p - 1] = True
         assert (full == truth).all()
         assert (hyb == truth).all()
+
+
+def test_compress_bound():
+    """compress_bound parity (Def.Ns, de.ml:3993–3996): output never
+    exceeds the bound at any level, including incompressible input."""
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 100, 65535, 65536, 200000):
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        for level in (0, 1, 6, 9):
+            comp = de.deflate(data, level, segment_size=SEG)
+            assert len(comp) <= de.compress_bound(n, SEG), (n, level, len(comp))
+
+
+def test_restricted_window_bits():
+    """window_bits 8..15 (make_window ~bits parity, de.ml:331–333):
+    streams decode correctly with a matching small zlib window — the
+    oracle rejects distances beyond 2^bits, so success proves the
+    matcher honoured the restriction."""
+    from decompress_tpu import zl
+
+    data = (b"the quick brown fox jumps over the lazy dog " * 400
+            + bytes(range(256)) * 20
+            + b"the quick brown fox jumps over the lazy dog " * 400)
+    for bits in (8, 9, 12, 15):
+        comp = de.deflate(data, 6, segment_size=SEG, window_bits=bits)
+        d = zlib.decompressobj(-bits)
+        out = d.decompress(comp)
+        assert d.eof and out == data, bits
+        zcomp = zl.deflate(data, 6, segment_size=SEG, window_bits=bits)
+        assert zcomp[0] == 0x08 | ((bits - 8) << 4)
+        assert zlib.decompressobj(bits).decompress(zcomp) == data
+        # our own decoders accept them too
+        assert de.inflate(comp) == data
+        assert zl.inflate(zcomp) == data
+    with pytest.raises(ValueError):
+        de.deflate(data, 6, window_bits=7)
