@@ -20,3 +20,13 @@ Layer map (TPU-first re-design of SURVEY.md §1):
 __version__ = "0.1.0"
 
 from . import core  # noqa: F401
+
+
+def __getattr__(name):
+    # `rfc1951` is an alias of `de`, mirroring the reference's dune copy
+    # rule that ships de.ml twice (lib/dune:21–25, rfc1951.opam).
+    if name == "rfc1951":
+        from . import de
+
+        return de
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
