@@ -166,7 +166,7 @@ def _shift_prev(a: jnp.ndarray, k: int, fill) -> jnp.ndarray:
 
 
 def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
-                      max_dist: int = tables.WINDOW_SIZE):
+                      max_dist: int = tables.WINDOW_SIZE, hist: int = HIST):
     """Best match (length, dist) at every *payload* position of one
     segment.
 
@@ -186,7 +186,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     position space.
     """
     t = data_u8.shape[0]
-    seg_len = t - HIST
+    seg_len = t - hist
     w = _u32_words(data_u8)
     fp = _fingerprints(w)
 
@@ -244,11 +244,11 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     )
     packed = (
         jnp.zeros(t, jnp.int32).at[sp].set(packed_r, unique_indices=True)
-    )[HIST:]
+    )[hist:]
     has = (packed & 1) == 1
     btier = (packed >> 1) & 3
     bcand = packed >> 3
-    pos_pay = jnp.arange(seg_len, dtype=jnp.int32) + HIST
+    pos_pay = jnp.arange(seg_len, dtype=jnp.int32) + hist
     bdist = pos_pay - bcand
     bsafe = jnp.where(has, bcand, 0)
 
@@ -286,7 +286,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     # suffix scan over all four distances (payload rows only) ----
     small_d = (1, 2, 3, 4)
     eqs = jnp.stack(
-        [(data_u8 == jnp.roll(data_u8, d))[HIST:] for d in small_d]
+        [(data_u8 == jnp.roll(data_u8, d))[hist:] for d in small_d]
     )
     runs = _run_length_scan_multi(eqs)
     for di, d in enumerate(small_d):
@@ -387,7 +387,8 @@ def _mark_path_hybrid(g: jnp.ndarray, levels: int, c: int = _PARSE_C) -> jnp.nda
     return entry == idx
 
 
-def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n):
+def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n,
+                    hist: int = HIST):
     """Exact check of every selected match: each covered byte must equal
     its source byte.  Returns True iff the whole segment is exact.
 
@@ -402,14 +403,14 @@ def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n):
     cov_len = length[safe_start]
     cov_dist = dist[safe_start]
     covered = (cov_start >= 0) & (posn < safe_start + cov_len) & (posn < n)
-    payload = data_u8[HIST : HIST + seg_len]
-    src_idx = jnp.maximum(HIST + posn - cov_dist, 0)
+    payload = data_u8[hist : hist + seg_len]
+    src_idx = jnp.maximum(hist + posn - cov_dist, 0)
     eq = payload == data_u8[src_idx]
     return jnp.all(jnp.where(covered, eq, True))
 
 
 def analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
-            window_bits: int = 15):
+            window_bits: int = 15, hist: int = HIST):
     """Host wrapper around :func:`lz77_analyze` that retries with the
     exact-extension configuration when the verification pass reports a
     fingerprint overestimate (roughly a once-per-hundreds-of-MB event);
@@ -418,21 +419,22 @@ def analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     ``window_bits`` (8..15) restricts match distances for small
     user-provided windows (make_window ~bits, de.ml:331-333)."""
     res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len,
-                       window_bits=window_bits)
+                       window_bits=window_bits, hist=hist)
     if LEVELS[level].exact:
         return res
     if bool(np.asarray(res["exact"]).all()):
         return res
     return lz77_analyze(
         data, n_valid, hist_len, level=level, seg_len=seg_len,
-        force_exact=True, window_bits=window_bits,
+        force_exact=True, window_bits=window_bits, hist=hist,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("level", "seg_len", "force_exact",
-                                             "window_bits"))
+                                             "window_bits", "hist"))
 def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
-                 force_exact: bool = False, window_bits: int = 15):
+                 force_exact: bool = False, window_bits: int = 15,
+                 hist: int = HIST):
     """Match-find + parse a batch of segments.
 
     data: uint8[B, HIST + seg_len] — 32 KiB history prefix then payload
@@ -449,19 +451,20 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     cfg = LEVELS[level]
     if force_exact and not cfg.exact:
         cfg = LevelConfig(cfg.k_candidates, cfg.lazy, True)
-    t = HIST + seg_len
+    t = hist + seg_len
     p = _ceil_pow2(seg_len + MAX_MATCH + 1)
     levels = p.bit_length() - 1
 
     def one(seg, n, hl):
-        valid_lo = HIST - hl
-        valid_hi = HIST + n
+        valid_lo = hist - hl
+        valid_hi = hist + n
         if _ablate == "cand":
-            length = jnp.where(seg[HIST:].astype(jnp.int32) > 128, 4, 0)
+            length = jnp.where(seg[hist:].astype(jnp.int32) > 128, 4, 0)
             dist = jnp.full(seg_len, 7, jnp.int32)
         else:
             length, dist = _match_candidates(
-                seg, valid_lo, valid_hi, cfg, max_dist=1 << window_bits
+                seg, valid_lo, valid_hi, cfg, max_dist=1 << window_bits,
+                hist=hist,
             )
 
         # payload-domain arrays: position i here is absolute HIST + i
@@ -495,12 +498,13 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
         mlen = jnp.where(is_match, plen, 0)
         mdist = jnp.where(is_match, dist, 0)
 
-        exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n)
+        exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n,
+                                hist=hist)
 
         lcode = jnp.asarray(tables.LENGTH_CODE_MAP)[
             jnp.clip(mlen - MIN_MATCH, 0, 255)
         ]
-        lit = seg[HIST:t].astype(jnp.int32)
+        lit = seg[hist:t].astype(jnp.int32)
         sym = jnp.where(is_match, 257 + lcode, lit)
         emit = on_path.astype(jnp.int32)
         hist_lit = jnp.zeros(286, jnp.int32).at[sym].add(emit, mode="drop")

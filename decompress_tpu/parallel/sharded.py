@@ -81,7 +81,11 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
     compiled variants; each mesh device gets MAX_DEVICE_BATCH members
     per call).
     """
-    hist = lz77.HIST
+    # members are independent (window reset at boundaries), so the
+    # history prefix is pure padding: run the matcher hist-free, which
+    # shrinks the sort/fingerprint/probe domain and the upload by the
+    # 32 KiB-per-member prefix
+    hist = 0
     data, n_valid = _batched_members(arr, member_size, hist)
     m = data.shape[0]
     if final_flags is None:
@@ -107,7 +111,8 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
         d_nv = _shard_batch(cnv, mesh)
         d_hl = _shard_batch(chl, mesh)
 
-        res = lz77.analyze(d_data, d_nv, d_hl, level=level, seg_len=member_size)
+        res = lz77.analyze(d_data, d_nv, d_hl, level=level,
+                           seg_len=member_size, hist=hist)
         hist_lit = np.asarray(res["hist_lit"])[:b]
         hist_dist = np.asarray(res["hist_dist"])[:b]
 

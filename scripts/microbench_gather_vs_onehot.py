@@ -12,13 +12,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REPS = 300
+REPS = int(__import__("os").environ.get("REPS", "5000"))
 
 
 def bench(f, *args):
-    f(*args).block_until_ready()
+    # block_until_ready is a no-op through the tunnel: force the
+    # compile+first-run with a real FETCH, then time a second fetch
+    int(jnp.sum(f(*args)))
     t0 = time.time()
-    r = int(jnp.sum(f(*args)))  # fetch forces completion through tunnel
+    r = int(jnp.sum(f(*args)))
     dt = time.time() - t0
     return dt, r
 
