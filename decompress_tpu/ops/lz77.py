@@ -199,6 +199,9 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     w_s = w[sp]
     w4_s = jnp.roll(w, -4)[sp]
     f16_s = fp[16][sp]
+    f32_s = fp[32][sp]
+    f64_s = fp[64][sp]
+    f128_s = fp[128][sp]
 
     sp_ok = sp < valid_hi
     neg_inf = jnp.int32(-(1 << 30))
@@ -226,7 +229,20 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
         len8 = len4 & (x8 == 0)
         eq16 = (_shift_prev(f16_s, k, jnp.uint32(0)) == f16_s) & len8
-        grade = jnp.where(ok, plen4, 0) + plen8 + jnp.where(eq16, 8, 0)
+        # 32/64-byte grade bits differentiate candidates past the
+        # 16-byte tie (cheap now that probes are rank-space shifts; the
+        # fp64 probe was dropped in round 1 when probes cost K gathers)
+        eq32 = (_shift_prev(f32_s, k, jnp.uint32(0)) == f32_s) & eq16
+        eq64 = (_shift_prev(f64_s, k, jnp.uint32(0)) == f64_s) & eq32
+        eq128 = (_shift_prev(f128_s, k, jnp.uint32(0)) == f128_s) & eq64
+        grade = (
+            jnp.where(ok, plen4, 0)
+            + plen8
+            + jnp.where(eq16, 8, 0)
+            + jnp.where(eq32, 16, 0)
+            + jnp.where(eq64, 32, 0)
+            + jnp.where(eq128, 64, 0)
+        )
         usable = ok & (plen4 >= 3)
         score = jnp.where(usable, (grade << 17) - dist, neg_inf)
         better = score > best_score  # first max wins: argmax parity
