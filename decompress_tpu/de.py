@@ -459,10 +459,10 @@ def _get_pack_jit():
 
     from .ops import bitpack as bitpack_ops
 
-    @functools.partial(jax.jit, static_argnames=("out_words",))
+    @functools.partial(jax.jit, static_argnames=("out_words", "n_splits"))
     def pack(on_path, is_match, length, dist, sym_lit, hdr_vals, hdr_bits,
              lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits,
-             out_words):
+             out_words, n_splits=0):
         lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
         dmap = jnp.asarray(tables.DIST_CODE_MAP)
         lbase = jnp.asarray(LENGTH_BASE)
@@ -500,19 +500,53 @@ def _get_pack_jit():
         nbs = nbs.reshape(bsz, -1)
         all_vals = jnp.concatenate([hdr_vals, vals, eob_vals], axis=1)
         all_nbs = jnp.concatenate([hdr_bits, nbs, eob_bits], axis=1)
-        return bitpack_ops.pack_bits_device(all_vals, all_nbs, out_words)
+        packed = bitpack_ops.pack_bits_device(all_vals, all_nbs, out_words)
+        if n_splits <= 1:
+            return packed
+        # split points for the member-chunk-parallel decoder: for each
+        # of n_splits-1 interior boundaries, the first command starting
+        # at or after j*(seg/n_splits) output bytes — its bit offset in
+        # the packed body, its command index, and its output offset.
+        # bit 0 marks "no split" (real offsets are >= 3 header bits).
+        segl = on_path.shape[1]
+        on_i = on_path.astype(jnp.int32)
+        adv = jnp.where(on_path, jnp.where(is_match, length, 1), 0)
+        opos = jnp.cumsum(adv, axis=1) - adv
+        cmdi = jnp.cumsum(on_i, axis=1) - on_i
+        posbits = n01 + n23
+        bit0 = jnp.sum(hdr_bits, axis=1, keepdims=True)
+        boff = bit0 + jnp.cumsum(posbits, axis=1) - posbits
+        iota = jnp.arange(segl, dtype=jnp.int32)[None, :]
+        big = jnp.int32(1 << 30)
+        sb, sc, so = [], [], []
+        for j in range(1, n_splits):
+            target = j * (segl // n_splits)
+            cand = jnp.where(on_path & (opos >= target), iota, big)
+            pj = jnp.min(cand, axis=1)
+            valid = pj < big
+            pjc = jnp.minimum(pj, segl - 1)
+
+            def takej(a, pjc=pjc):
+                return jnp.take_along_axis(a, pjc[:, None], axis=1)[:, 0]
+
+            sb.append(jnp.where(valid, takej(boff), 0))
+            sc.append(jnp.where(valid, takej(cmdi), 0))
+            so.append(jnp.where(valid, takej(opos), 0))
+        splits = (jnp.stack(sb, 1), jnp.stack(sc, 1), jnp.stack(so, 1))
+        return packed, splits
 
     _PACK_JIT = pack
     return pack
 
 
 def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
-                   dist_codes, dist_bits, eob_vals, eob_bits, out_words):
+                   dist_codes, dist_bits, eob_vals, eob_bits, out_words,
+                   n_splits: int = 0):
     pack = _get_pack_jit()
     return pack(
         res["on_path"], res["is_match"], res["length"], res["dist"], sym_lit,
         hdr_vals, hdr_bits, lit_codes, lit_bits, dist_codes, dist_bits,
-        eob_vals, eob_bits, out_words,
+        eob_vals, eob_bits, out_words=out_words, n_splits=n_splits,
     )
 
 

@@ -105,11 +105,15 @@ def prepare_member(body: np.ndarray):
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))
-def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
-    """Lockstep symbol decode across B members.
+def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
+                   stop_counts=None):
+    """Lockstep symbol decode across B members (or member *chunks*).
 
     words: uint32[B, W]; start_bits: int32[B]; lit_tabs: int32[B, MAX_TABLE];
-    dist_tabs: int32[B, DIST_TABLE].
+    dist_tabs: int32[B, DIST_TABLE]; stop_counts: optional int32[B] —
+    a row is done after decoding that many commands even without an
+    end-of-block symbol (the split-indexed decode: chunks of one
+    member's symbol stream decoded as independent rows; 0 = EOB only).
     Returns (kinds int8[B, max_cmds] (0 lit, 1 copy, 2 end), values
     int32[B, max_cmds] (literal byte or length), dists int32[B, max_cmds],
     ok bool[B]).
@@ -202,6 +206,9 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
         value = jnp.where(is_copy, length, sym)
         new_bad = bad | (~done & (bad1 | (is_copy & (bad2 | (dsym > 29))) | (sym > 285)))
         write = ~done & ~new_bad
+        if stop_counts is not None:
+            # count-stopped rows: a mid-chunk end-of-block is malformed
+            new_bad = new_bad | (write & is_end & (stop_counts > 0))
         # single packed row write: kind<<26 | dist<<10 | value
         packed = (kind << 26) | (jnp.where(is_copy, dist, 0) << 10) | value
         # each row is written exactly once (at iteration i); non-writing
@@ -214,6 +221,8 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
         hhi3 = jnp.where(keep, hhi, hhi3)
         bits3 = jnp.where(keep, bits, bits3)
         done = done | is_end | new_bad
+        if stop_counts is not None:
+            done = done | ((stop_counts > 0) & (i + 1 >= stop_counts))
         return i + 1, widx, hlo3, hhi3, bits3, done, new_bad, cmds
 
     def step(state):
@@ -247,7 +256,8 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int):
     kinds = (cmds >> 26).astype(jnp.int8)
     values = cmds & 0x3FF
     dists = (cmds >> 10) & 0xFFFF
-    return kinds, values, dists, done & ~bad
+    ok = done & ~bad
+    return kinds, values, dists, ok
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))

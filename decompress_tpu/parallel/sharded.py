@@ -76,7 +76,9 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
     """Device-parallel member compression.
 
     Returns (parts, n_valid, crcs) where parts[i] is either
-    ("stored", payload_u8) or ("packed", packed_u8, total_bits).
+    ("stored", payload_u8) or ("packed", packed_u8, total_bits,
+    splits) — splits being (bit_off, cmd_idx, out_off) triples at the
+    N_SPLITS-1 interior symbol-stream split points (bit_off 0 = none).
     Members are processed in fixed-shape chunks (a small set of
     compiled variants; each mesh device gets MAX_DEVICE_BATCH members
     per call).
@@ -119,12 +121,15 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
         hdr, tabs, kinds = de.plan_blocks(
             hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=b_pad
         )
-        words, totals = de._pack_segments(
+        (words, totals), (sp_bits, sp_cmds, sp_outs) = de._pack_segments(
             res, d_data[:, hist:],
             *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
-            out_words,
+            out_words, n_splits=N_SPLITS,
         )
         totals = np.asarray(totals)[:b]
+        sp_bits = np.asarray(sp_bits)[:b]
+        sp_cmds = np.asarray(sp_cmds)[:b]
+        sp_outs = np.asarray(sp_outs)[:b]
         used = [int(totals[i]) for i in range(b) if kinds[i] != "stored"]
         cap = (max(used) + 31) // 32 + 1 if used else 0
         words = np.asarray(words[:b, :cap]) if cap else np.zeros((b, 0), np.uint32)
@@ -148,11 +153,17 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
                 parts.append(("stored", cdata[i, hist : hist + cnv[i]]))
             else:
                 packed = np.frombuffer(words[i].astype("<u4").tobytes(), dtype=np.uint8)
-                parts.append(("packed", packed, int(totals[i])))
+                splits = [
+                    (int(sp_bits[i, j]), int(sp_cmds[i, j]), int(sp_outs[i, j]))
+                    for j in range(N_SPLITS - 1)
+                ]
+                parts.append(("packed", packed, int(totals[i]), splits))
     return parts, n_valid, (np.array(crcs_all) if want_crc else None)
 
 
 INDEX_ID = b"TZ"  # gzip FEXTRA subfield carrying member byte sizes
+SPLIT_ID = b"TS"  # FEXTRA subfield: per-member symbol-stream split points
+N_SPLITS = 4      # chunks per member for the chunk-parallel decoder
 
 
 def sharded_gzip_compress(
@@ -190,15 +201,31 @@ def sharded_gzip_compress(
             w.write_packed(part[1], part[2])
         bodies.append(w.getvalue())
 
+    # sizes subfield + split subfield must fit one FEXTRA (<= 65535)
+    split_len = 1 + 12 * (N_SPLITS - 1) * m
+    use_splits = index and 4 + (4 + 4 * m) + (4 + split_len) <= 65535
     use_index = index and m <= (65531 - 8) // 4
     out = []
     if use_index:
         sizes = [len(head) + len(b) + 8 for b in bodies]
         xdata_len = 4 + 4 * m
-        sizes[0] += 2 + 4 + xdata_len  # first member grows by the FEXTRA
+        extra_len = 2 + 4 + xdata_len
+        sfield = b""
+        if use_splits:
+            sdata = bytes([N_SPLITS]) + b"".join(
+                bo.to_bytes(4, "little") + ci.to_bytes(4, "little")
+                + oo.to_bytes(4, "little")
+                for part in parts
+                for (bo, ci, oo) in (
+                    part[3] if part[0] == "packed" else [(0, 0, 0)] * (N_SPLITS - 1)
+                )
+            )
+            sfield = SPLIT_ID + len(sdata).to_bytes(2, "little") + sdata
+            extra_len += len(sfield)
+        sizes[0] += extra_len  # first member grows by the FEXTRA
         xfield = INDEX_ID + xdata_len.to_bytes(2, "little") \
             + m.to_bytes(4, "little") \
-            + b"".join(s.to_bytes(4, "little") for s in sizes)
+            + b"".join(s.to_bytes(4, "little") for s in sizes) + sfield
         head0 = bytearray(head)
         head0[3] |= gz._FEXTRA
         head0 += len(xfield).to_bytes(2, "little") + xfield
@@ -219,9 +246,9 @@ def sharded_gzip_decompress(archive) -> bytes:
     path when the index is absent or a member isn't device-decodable."""
     buf = de._np_u8(archive)
     try:
-        sizes = _read_index(buf)
+        sizes, splits = _read_index_ex(buf)
     except (gz.MalformedError, ValueError):
-        sizes = None
+        sizes, splits = None, None
     if sizes is None:
         return gz.decompress(buf)
     from ..ops import inflate as inflate_ops
@@ -253,49 +280,109 @@ def sharded_gzip_decompress(archive) -> bytes:
     results: list = [None] * len(metas)
     crcs_ok = True
 
+    from .. import native
+
+    # symbol-stream split points let each member decode as N_SPLITS
+    # independent chunk rows (shared tables, recorded bit offsets):
+    # ~4x fewer lockstep iterations and a wider batch.  Chunk rows can
+    # reference earlier chunks' output, so this path needs the native
+    # (in-order, host-side) expansion.
+    use_splits = (
+        splits is not None
+        and len(splits) == len(metas)
+        and native.available()
+    )
+    if use_splits:
+        for i in huff:
+            tri = [t for t in splits[i] if t[0] > 0]
+            (_, _, _, start), _, _, isize = metas[i]
+            prev_bit, prev_cmd = start, 0
+            for (bo, ci, oo) in tri:
+                if bo <= prev_bit or ci <= prev_cmd or oo > isize:
+                    use_splits = False  # corrupt index: serial fallback
+                prev_bit, prev_cmd = bo, ci
+
     if huff:
         m = len(huff)
         out_len = _ceil_pow2_int(max(metas[i][3] for i in huff))
         wmax = _ceil_pow2_int(max(metas[i][1].size for i in huff) // 4 + 4)
-        b_pad = _ceil_pow2_int(m)
+        # rows: (member idx, start bit, stop count; 0 = decode to EOB)
+        rows: list = []
+        row_caps: list = []
+        for i in huff:
+            (_, lit, dist, start), body, _, isize = metas[i]
+            if use_splits:
+                tri = [t for t in splits[i] if t[0] > 0]
+            else:
+                tri = []
+            bits = [start] + [t[0] for t in tri]
+            cmdb = [0] + [t[1] for t in tri]
+            outb = [0] + [t[2] for t in tri]
+            for j in range(len(bits)):
+                if j + 1 < len(bits):
+                    stop = cmdb[j + 1] - cmdb[j]
+                    cap = stop
+                else:
+                    stop = 0
+                    cap = isize - outb[-1] + 2  # cmds <= out bytes + EOB
+                rows.append((i, bits[j], stop))
+                row_caps.append(cap)
+        nrows = len(rows)
+        b_pad = _ceil_pow2_int(nrows)
+        max_cmds = (max(row_caps) if use_splits else out_len) + 4
         words = np.zeros((b_pad, wmax), np.uint32)
         start_bits = np.zeros(b_pad, np.int32)
+        stop_counts = np.zeros(b_pad, np.int32)
         lits = np.full((b_pad, inflate_ops.MAX_TABLE), huffman_invalid(), np.int32)
         dists = np.full((b_pad, inflate_ops.DIST_TABLE), huffman_invalid(), np.int32)
-        for row, i in enumerate(huff):
-            (_, lit, dist, start), body, _, _ = metas[i]
+        member_words = {}
+        for i in huff:
+            (_, _, _, _), body, _, _ = metas[i]
             bw = np.zeros(wmax * 4, np.uint8)
             bw[: body.size] = body
-            words[row] = bw.view("<u4")
-            start_bits[row] = start
+            member_words[i] = bw.view("<u4")
+        first_row = {}
+        for row, (i, bit, stop) in enumerate(rows):
+            (_, lit, dist, _), _, _, _ = metas[i]
+            words[row] = member_words[i]
+            start_bits[row] = bit
+            stop_counts[row] = stop
             lits[row] = lit
             dists[row] = dist
+            first_row.setdefault(i, row)
         kinds, values, dvals, ok = inflate_ops.decode_symbols(
             jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(lits),
-            jnp.asarray(dists), max_cmds=out_len + 4,
+            jnp.asarray(dists), max_cmds=max_cmds,
+            stop_counts=jnp.asarray(stop_counts) if use_splits else None,
         )
-        if not bool(np.asarray(ok)[:m].all()):
+        if not bool(np.asarray(ok)[:nrows].all()):
             return gz.decompress(buf)
-        from .. import native
 
         if native.available():
             # ragged-compact the command stream on device, expand on host
             # (C++): fetches ~sum(ncmds) words instead of running the
-            # pointer-jump expansion rounds
+            # pointer-jump expansion rounds.  With splits, each member's
+            # chunk rows are consecutive, so its command stream is the
+            # contiguous concatenation of its rows' spans (interior rows
+            # contribute exactly stop_count commands — no end marker).
             packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
-            ncmds = np.asarray(inflate_ops.command_counts(kinds))
-            total = int(ncmds[:m].sum()) + int(ncmds[m:].sum())
+            counted = np.asarray(inflate_ops.command_counts(kinds))
+            ncmds = np.where(stop_counts > 0, stop_counts, counted)
+            total = int(ncmds.sum())
             out_size = _ceil_pow2_int(max(total, 1))
             flat = np.asarray(
                 inflate_ops.compact_commands(packed, jnp.asarray(ncmds), out_size)
             ).astype(np.uint32)
-            pos = 0
-            for row, i in enumerate(huff):
+            row_starts = np.concatenate([[0], np.cumsum(ncmds)])
+            for i in huff:
                 _, _, crc, isize = metas[i]
-                # padding rows before this member's row also occupy the
-                # flat buffer; track by cumulative count
-                start = int(ncmds[:row].sum())
-                seg = np.ascontiguousarray(flat[start : start + int(ncmds[row])])
+                r0 = first_row[i]
+                r1 = r0 + 1
+                while r1 < nrows and rows[r1][0] == i:
+                    r1 += 1
+                seg = np.ascontiguousarray(
+                    flat[int(row_starts[r0]) : int(row_starts[r1])]
+                )
                 outbuf = np.empty(isize + 4, np.uint8)
                 try:
                     produced = native.expand_cmds(seg, outbuf)
@@ -307,6 +394,8 @@ def sharded_gzip_decompress(archive) -> bytes:
                     break
                 results[i] = outbuf[:isize].tobytes()
         else:
+            # device expansion resolves each row independently, so it
+            # requires whole-member rows (use_splits is False here)
             payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
             lengths = np.asarray(lengths)
 
@@ -352,24 +441,57 @@ def huffman_invalid() -> int:
 
 def _read_index(buf: np.ndarray) -> list[int] | None:
     """Member sizes from the first member's FEXTRA index, or None."""
+    sizes, _ = _read_index_ex(buf)
+    return sizes
+
+
+def _read_index_ex(buf: np.ndarray):
+    """(member sizes, per-member split triples) from the FEXTRA index.
+
+    Splits (SPLIT_ID subfield) are (bit_off, cmd_idx, out_off) triples
+    per interior chunk boundary; None when the archive has no index /
+    no split subfield.
+    """
     if buf.size < 12 or buf[0] != 0x1F or buf[1] != 0x8B:
         raise gz.MalformedError("invalid header")
     if not (int(buf[3]) & gz._FEXTRA):
-        return None
+        return None, None
     xlen = int.from_bytes(buf[10:12].tobytes(), "little")
     field = buf[12 : 12 + xlen].tobytes()
     i = 0
+    sizes = None
+    splits = None
     while i + 4 <= len(field):
         sid = field[i : i + 2]
         ln = int.from_bytes(field[i + 2 : i + 4], "little")
+        data = field[i + 4 : i + 4 + ln]
         if sid == INDEX_ID:
-            data = field[i + 4 : i + 4 + ln]
             m = int.from_bytes(data[:4], "little")
             if len(data) != 4 + 4 * m:
-                return None
-            return [int.from_bytes(data[4 + 4 * k : 8 + 4 * k], "little") for k in range(m)]
+                return None, None
+            sizes = [
+                int.from_bytes(data[4 + 4 * k : 8 + 4 * k], "little")
+                for k in range(m)
+            ]
+        elif sid == SPLIT_ID and len(data) >= 1:
+            ns = data[0]
+            triples = []
+            j = 1
+            while j + 12 <= len(data):
+                triples.append((
+                    int.from_bytes(data[j : j + 4], "little"),
+                    int.from_bytes(data[j + 4 : j + 8], "little"),
+                    int.from_bytes(data[j + 8 : j + 12], "little"),
+                ))
+                j += 12
+            per = ns - 1
+            if per > 0 and len(triples) % per == 0:
+                splits = [
+                    triples[k * per : (k + 1) * per]
+                    for k in range(len(triples) // per)
+                ]
         i += 4 + ln
-    return None
+    return sizes, splits
 
 
 def sharded_zlib_compress(

@@ -78,3 +78,65 @@ def test_device_path_actually_runs(payload, monkeypatch):
 
     monkeypatch.setattr(sh.gz, "decompress", _no_fallback)
     assert sh.sharded_gzip_decompress(arch) == payload
+
+
+def test_split_index_present_and_used(payload, monkeypatch):
+    """Archives record symbol-stream split points (SPLIT_ID subfield)
+    and the decoder consumes members as chunk rows without the serial
+    fallback; output is byte-exact."""
+    from decompress_tpu.parallel import sharded as sh
+
+    arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
+    sizes, splits = sh._read_index_ex(de._np_u8(arch))
+    assert sizes is not None and splits is not None
+    assert len(splits) == len(sizes)
+    # big members should have all interior splits recorded
+    assert any(all(t[0] > 0 for t in sp) for sp in splits)
+    # split offsets are strictly increasing where present
+    for sp in splits:
+        prev = 0
+        for bo, ci, oo in sp:
+            if bo:
+                assert bo > prev
+                prev = bo
+
+    monkeypatch.setattr(sh.gz, "decompress", lambda _b: (_ for _ in ()).throw(
+        AssertionError("serial fallback used")))
+    assert sh.sharded_gzip_decompress(arch) == payload
+
+
+def test_split_index_corrupt_falls_back(payload):
+    """A corrupted split subfield must not break decoding: the decoder
+    detects non-increasing offsets and uses whole-member rows (and the
+    stream still decodes byte-exactly)."""
+    from decompress_tpu.parallel import sharded as sh
+
+    arch = bytearray(sharded_gzip_compress(payload, 6, member_size=MEMBER))
+    # find the TS subfield in the first member's FEXTRA and scramble it
+    xlen = int.from_bytes(arch[10:12], "little")
+    field = arch[12 : 12 + xlen]
+    i = 0
+    found = False
+    while i + 4 <= len(field):
+        sid = bytes(field[i : i + 2])
+        ln = int.from_bytes(field[i + 2 : i + 4], "little")
+        if sid == sh.SPLIT_ID:
+            # reverse a bit-offset ordering: copy first triple over second
+            base = 12 + i + 4 + 1
+            arch[base + 12 : base + 24] = arch[base : base + 12]
+            found = True
+            break
+        i += 4 + ln
+    assert found
+    assert sharded_gzip_decompress(bytes(arch)) == payload
+
+
+def test_archives_identical_across_meshes_with_splits(payload):
+    """Split metadata is deterministic: same archive bytes for 1 and 8
+    virtual devices."""
+    from decompress_tpu.parallel import sharded as sh
+
+    a1 = sharded_gzip_compress(payload, 6, member_size=MEMBER, mesh=None)
+    a8 = sharded_gzip_compress(payload, 6, member_size=MEMBER,
+                               mesh=sh.make_mesh(8))
+    assert a1 == a8
