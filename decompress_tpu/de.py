@@ -292,6 +292,54 @@ def _build_batch(arr, seg_lo, seg_hi, seg, lz77_ops):
     return data, n_valid, hist_len, b
 
 
+_ASSEMBLE_JIT = None
+
+
+def _assemble_batch_device(payload, head_hist):
+    """Device-side batch assembly: rows are consecutive segments, so
+    row i's 32 KiB history is row i-1's payload tail; only the first
+    row's history (and the payloads) cross the host->device link —
+    ~20% less upload than shipping history per row."""
+    global _ASSEMBLE_JIT
+    if _ASSEMBLE_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def assemble(pay, head):
+            hist = head.shape[0]
+            seg = pay.shape[1]
+            prev_tail = pay[:-1, seg - hist:]
+            hists = jnp.concatenate([head[None], prev_tail], axis=0)
+            return jnp.concatenate([hists, pay], axis=1)
+
+        _ASSEMBLE_JIT = assemble
+    return _ASSEMBLE_JIT(payload, head_hist)
+
+
+def _build_batch_payload(arr, seg_lo, seg_hi, seg, lz77_ops):
+    """Payload-only host buffers for :func:`_assemble_batch_device`
+    (requires seg >= HIST so one previous row covers the window)."""
+    n = arr.size
+    b = seg_hi - seg_lo
+    b_pad = MAX_DEVICE_BATCH if b == MAX_DEVICE_BATCH else 1 << (b - 1).bit_length()
+    payload = np.zeros((b_pad, seg), dtype=np.uint8)
+    n_valid = np.zeros(b_pad, dtype=np.int32)
+    hist_len = np.zeros(b_pad, dtype=np.int32)
+    for i, s in enumerate(range(seg_lo, seg_hi)):
+        start = s * seg
+        stop = min(start + seg, n)
+        n_valid[i] = stop - start
+        hist_len[i] = min(lz77_ops.HIST, start)
+        payload[i, : stop - start] = arr[start:stop]
+    start0 = seg_lo * seg
+    hl0 = min(lz77_ops.HIST, start0)
+    head = np.zeros(lz77_ops.HIST, dtype=np.uint8)
+    if hl0:
+        head[lz77_ops.HIST - hl0 :] = arr[start0 - hl0 : start0]
+    return payload, head, n_valid, hist_len, b
+
+
 def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
                        window_bits=15):
     """Pipelined segment compression: analysis for upcoming batches is
@@ -307,8 +355,15 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
 
     def dispatch(bi):
         lo, hi = batches[bi]
-        data, n_valid, hist_len, b = _build_batch(arr, lo, hi, seg, lz77_ops)
-        d_data = jnp.asarray(data)
+        if seg >= lz77_ops.HIST:
+            payload, head, n_valid, hist_len, b = _build_batch_payload(
+                arr, lo, hi, seg, lz77_ops)
+            d_data = _assemble_batch_device(jnp.asarray(payload),
+                                            jnp.asarray(head))
+            data = payload
+        else:
+            data, n_valid, hist_len, b = _build_batch(arr, lo, hi, seg, lz77_ops)
+            d_data = jnp.asarray(data)
         res = lz77_ops.lz77_analyze(
             d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
             level=level, seg_len=seg, window_bits=window_bits,
