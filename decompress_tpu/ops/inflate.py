@@ -106,7 +106,7 @@ def prepare_member(body: np.ndarray):
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))
 def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
-                   stop_counts=None):
+                   stop_counts=None, row_members=None):
     """Lockstep symbol decode across B members (or member *chunks*).
 
     words: uint32[B, W]; start_bits: int32[B]; lit_tabs: int32[B, MAX_TABLE];
@@ -114,6 +114,9 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     a row is done after decoding that many commands even without an
     end-of-block symbol (the split-indexed decode: chunks of one
     member's symbol stream decoded as independent rows; 0 = EOB only).
+    With row_members (int32[B]), words/lit_tabs/dist_tabs are
+    *per-member* arrays indexed on device — several chunk rows share a
+    member without duplicating the upload across the host link.
     Returns (kinds int8[B, max_cmds] (0 lit, 1 copy, 2 end), values
     int32[B, max_cmds] (literal byte or length), dists int32[B, max_cmds],
     ok bool[B]).
@@ -123,6 +126,10 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     <= 48 bits) decodes per iteration from register arithmetic with two
     conditional word gathers and four table gathers.
     """
+    if row_members is not None:
+        words = words[row_members]
+        lit_tabs = lit_tabs[row_members]
+        dist_tabs = dist_tabs[row_members]
     b, wmax = words.shape
     lbase = jnp.asarray(tables.LENGTH_BASE)
     lextra = jnp.asarray(tables.LENGTH_EXTRA)

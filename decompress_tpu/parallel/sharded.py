@@ -330,30 +330,34 @@ def sharded_gzip_decompress(archive) -> bytes:
         nrows = len(rows)
         b_pad = _ceil_pow2_int(nrows)
         max_cmds = (max(row_caps) if use_splits else out_len) + 4
-        words = np.zeros((b_pad, wmax), np.uint32)
-        start_bits = np.zeros(b_pad, np.int32)
-        stop_counts = np.zeros(b_pad, np.int32)
-        lits = np.full((b_pad, inflate_ops.MAX_TABLE), huffman_invalid(), np.int32)
-        dists = np.full((b_pad, inflate_ops.DIST_TABLE), huffman_invalid(), np.int32)
-        member_words = {}
+        # per-MEMBER upload arrays (+1 sentinel row with invalid tables
+        # for padding rows); chunk rows map to members on device, so the
+        # host link carries each member's words/tables once
+        midx = {i: r for r, i in enumerate(huff)}
+        mw = np.zeros((m + 1, wmax), np.uint32)
+        lits = np.full((m + 1, inflate_ops.MAX_TABLE), huffman_invalid(), np.int32)
+        dists = np.full((m + 1, inflate_ops.DIST_TABLE), huffman_invalid(), np.int32)
         for i in huff:
-            (_, _, _, _), body, _, _ = metas[i]
+            (_, lit, dist, _), body, _, _ = metas[i]
             bw = np.zeros(wmax * 4, np.uint8)
             bw[: body.size] = body
-            member_words[i] = bw.view("<u4")
+            mw[midx[i]] = bw.view("<u4")
+            lits[midx[i]] = lit
+            dists[midx[i]] = dist
+        start_bits = np.zeros(b_pad, np.int32)
+        stop_counts = np.zeros(b_pad, np.int32)
+        row_members = np.full(b_pad, m, np.int32)  # default: sentinel
         first_row = {}
         for row, (i, bit, stop) in enumerate(rows):
-            (_, lit, dist, _), _, _, _ = metas[i]
-            words[row] = member_words[i]
             start_bits[row] = bit
             stop_counts[row] = stop
-            lits[row] = lit
-            dists[row] = dist
+            row_members[row] = midx[i]
             first_row.setdefault(i, row)
         kinds, values, dvals, ok = inflate_ops.decode_symbols(
-            jnp.asarray(words), jnp.asarray(start_bits), jnp.asarray(lits),
+            jnp.asarray(mw), jnp.asarray(start_bits), jnp.asarray(lits),
             jnp.asarray(dists), max_cmds=max_cmds,
             stop_counts=jnp.asarray(stop_counts) if use_splits else None,
+            row_members=jnp.asarray(row_members),
         )
         if not bool(np.asarray(ok)[:nrows].all()):
             return gz.decompress(buf)
