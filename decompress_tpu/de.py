@@ -235,14 +235,18 @@ def compress_bound(n: int, segment_size: int | None = None) -> int:
 
 
 def deflate(data, level: int = 6, *, segment_size: int | None = None,
-            dynamic: bool = True, window_bits: int = 15) -> bytes:
+            dynamic: bool = True, window_bits: int = 15,
+            dictionary: bytes | None = None) -> bytes:
     """One-shot DEFLATE compress (TPU pipeline; level 0 = stored).
 
     ``dynamic=False`` forces fixed-Huffman blocks (the reference
     Zl.Def ``~dynamic`` knob, zl.ml:560).  ``window_bits`` (8..15)
     restricts match distances to a small window (`make_window ~bits`
     parity, de.ml:331–333) so the stream decodes with a 2^bits-byte
-    window."""
+    window.  ``dictionary`` seeds the match window (zlib zdict
+    semantics — the reference only records the FDICT flag,
+    zl.ml:254/271; decoding needs the same dictionary via
+    ``inflate(window=...)``)."""
     if not 8 <= window_bits <= 15:
         raise ValueError("window_bits must be in 8..15")
     arr = _np_u8(data)
@@ -263,9 +267,13 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
 
     seg = segment_size or SEGMENT_SIZE
     nseg = (n + seg - 1) // seg
+    head = None
+    if dictionary:
+        d = _np_u8(dictionary)
+        head = d[-min(d.size, tables.WINDOW_SIZE):]
     _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops,
                        force_block=None if dynamic else "fixed",
-                       window_bits=window_bits)
+                       window_bits=window_bits, dict_hist=head)
     return w.getvalue()
 
 
@@ -274,7 +282,7 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
 PIPELINE_DEPTH = 4
 
 
-def _build_batch(arr, seg_lo, seg_hi, seg, lz77_ops):
+def _build_batch(arr, seg_lo, seg_hi, seg, lz77_ops, dict_hist=None):
     n = arr.size
     b = seg_hi - seg_lo
     b_pad = MAX_DEVICE_BATCH if b == MAX_DEVICE_BATCH else 1 << (b - 1).bit_length()
@@ -285,9 +293,16 @@ def _build_batch(arr, seg_lo, seg_hi, seg, lz77_ops):
         start = s * seg
         stop = min(start + seg, n)
         n_valid[i] = stop - start
-        hl = min(lz77_ops.HIST, start)
+        # preset dictionary: virtual history before position 0
+        dlen = 0 if dict_hist is None else dict_hist.size
+        hl = min(lz77_ops.HIST, start + dlen)
         hist_len[i] = hl
-        data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = arr[start - hl : start]
+        from_arr = min(hl, start)
+        from_dict = hl - from_arr
+        if from_dict:
+            data[i, lz77_ops.HIST - hl : lz77_ops.HIST - from_arr] = \
+                dict_hist[dlen - from_dict :]
+        data[i, lz77_ops.HIST - from_arr : lz77_ops.HIST] = arr[start - from_arr : start]
         data[i, lz77_ops.HIST : lz77_ops.HIST + (stop - start)] = arr[start:stop]
     return data, n_valid, hist_len, b
 
@@ -317,7 +332,7 @@ def _assemble_batch_device(payload, head_hist):
     return _ASSEMBLE_JIT(payload, head_hist)
 
 
-def _build_batch_payload(arr, seg_lo, seg_hi, seg, lz77_ops):
+def _build_batch_payload(arr, seg_lo, seg_hi, seg, lz77_ops, dict_hist=None):
     """Payload-only host buffers for :func:`_assemble_batch_device`
     (requires seg >= HIST so one previous row covers the window)."""
     n = arr.size
@@ -326,22 +341,28 @@ def _build_batch_payload(arr, seg_lo, seg_hi, seg, lz77_ops):
     payload = np.zeros((b_pad, seg), dtype=np.uint8)
     n_valid = np.zeros(b_pad, dtype=np.int32)
     hist_len = np.zeros(b_pad, dtype=np.int32)
+    dlen = 0 if dict_hist is None else dict_hist.size
     for i, s in enumerate(range(seg_lo, seg_hi)):
         start = s * seg
         stop = min(start + seg, n)
         n_valid[i] = stop - start
-        hist_len[i] = min(lz77_ops.HIST, start)
+        hist_len[i] = min(lz77_ops.HIST, start + dlen)
         payload[i, : stop - start] = arr[start:stop]
     start0 = seg_lo * seg
-    hl0 = min(lz77_ops.HIST, start0)
+    hl0 = min(lz77_ops.HIST, start0 + dlen)
     head = np.zeros(lz77_ops.HIST, dtype=np.uint8)
-    if hl0:
-        head[lz77_ops.HIST - hl0 :] = arr[start0 - hl0 : start0]
+    from_arr = min(hl0, start0)
+    from_dict = hl0 - from_arr
+    if from_dict:
+        head[lz77_ops.HIST - hl0 : lz77_ops.HIST - from_arr] = \
+            dict_hist[dlen - from_dict :]
+    if from_arr:
+        head[lz77_ops.HIST - from_arr :] = arr[start0 - from_arr : start0]
     return payload, head, n_valid, hist_len, b
 
 
 def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
-                       window_bits=15):
+                       window_bits=15, dict_hist=None):
     """Pipelined segment compression: analysis for upcoming batches is
     dispatched ahead (JAX async) while the host plans/assembles earlier
     ones, hiding host time and transfers under device compute."""
@@ -357,12 +378,13 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
         lo, hi = batches[bi]
         if seg >= lz77_ops.HIST:
             payload, head, n_valid, hist_len, b = _build_batch_payload(
-                arr, lo, hi, seg, lz77_ops)
+                arr, lo, hi, seg, lz77_ops, dict_hist=dict_hist)
             d_data = _assemble_batch_device(jnp.asarray(payload),
                                             jnp.asarray(head))
             data = payload
         else:
-            data, n_valid, hist_len, b = _build_batch(arr, lo, hi, seg, lz77_ops)
+            data, n_valid, hist_len, b = _build_batch(arr, lo, hi, seg, lz77_ops,
+                                                      dict_hist=dict_hist)
             d_data = jnp.asarray(data)
         res = lz77_ops.lz77_analyze(
             d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),

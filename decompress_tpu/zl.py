@@ -31,32 +31,43 @@ def _flevel(level: int) -> int:
 
 
 def deflate(data, level: int = 6, *, segment_size: int | None = None,
-            dynamic: bool = True, window_bits: int = 15) -> bytes:
+            dynamic: bool = True, window_bits: int = 15,
+            zdict: bytes | None = None) -> bytes:
     """One-shot zlib compress (Zl.Def.Ns parity, zl.ml:594–630);
     ``dynamic=False`` forces fixed-tree blocks (zl.ml:560);
     ``window_bits`` (8..15) emits the matching CINFO and restricts
     match distances (the reference derives CINFO from the user window,
-    zl.ml:509–522)."""
+    zl.ml:509–522); ``zdict`` sets FDICT + DICTID and seeds the match
+    window (RFC 1950 §2.2 — the reference records the flag only,
+    zl.ml:254/271)."""
     data = de._np_u8(data)
     cmf = 0x08 | ((window_bits - 8) << 4)  # CM=8 (deflate) + CINFO
     flg = _flevel(level) << 6
+    if zdict:
+        flg |= 0x20
     rem = (cmf * 256 + flg) % 31
     if rem:
         flg += 31 - rem
     body = de.deflate(data, level, segment_size=segment_size, dynamic=dynamic,
-                      window_bits=window_bits)
+                      window_bits=window_bits, dictionary=zdict)
     adler = checksum.adler32(data)
-    return bytes([cmf, flg]) + body + adler.to_bytes(4, "big")
+    out = bytes([cmf, flg])
+    if zdict:
+        out += checksum.adler32(zdict).to_bytes(4, "big")
+    return out + body + adler.to_bytes(4, "big")
 
 
-def inflate(data) -> bytes:
+def inflate(data, *, zdict: bytes | None = None) -> bytes:
     """One-shot zlib decompress (Zl.Inf.Ns parity, zl.ml:382–418)."""
-    out, _ = inflate_ex(data)
+    out, _ = inflate_ex(data, zdict=zdict)
     return out
 
 
-def inflate_ex(data) -> tuple[bytes, int]:
-    """Decode one zlib stream; returns (payload, bytes consumed)."""
+def inflate_ex(data, *, zdict: bytes | None = None) -> tuple[bytes, int]:
+    """Decode one zlib stream; returns (payload, bytes consumed).
+
+    ``zdict`` supplies the preset dictionary for FDICT streams (RFC
+    1950 §2.2); its Adler-32 is checked against the stream's DICTID."""
     buf = de._np_u8(data)
     if buf.size < 2:
         raise MalformedError("malformed header")
@@ -67,17 +78,28 @@ def inflate_ex(data) -> tuple[bytes, int]:
         raise MalformedError("invalid kind of flow")
     if (cmf >> 4) > 7:
         raise MalformedError("invalid window")
+    hdr = 2
+    window = None
     if flg & 0x20:
-        raise MalformedError("unsupported preset dictionary")
-    out, consumed = de.inflate_ex(buf[2:])
-    tail = buf[2 + consumed :]
+        if zdict is None:
+            raise MalformedError("unsupported preset dictionary")
+        if buf.size < 6:
+            raise MalformedError("unexpected end of input")
+        dictid = int.from_bytes(buf[2:6].tobytes(), "big")
+        if dictid != checksum.adler32(zdict):
+            raise MalformedError("invalid dictionary checksum")
+        zd = de._np_u8(zdict)
+        window = zd[-min(zd.size, 32768):]
+        hdr = 6
+    out, consumed = de.inflate_ex(buf[hdr:], window=window)
+    tail = buf[hdr + consumed :]
     if tail.size < 4:
         raise MalformedError("unexpected end of input")
     expect = int.from_bytes(tail[:4].tobytes(), "big")
     got = checksum.adler32(out)
     if got != expect:
         raise MalformedError("invalid checksum")
-    return out, 2 + consumed + 4
+    return out, hdr + consumed + 4
 
 
 # camlzip-style conveniences (Zl.Higher parity, zl.ml:633–667)

@@ -108,3 +108,29 @@ def test_gzip_fhcrc_detects_header_corruption():
     bad[10] ^= 0xFF  # flip a filename byte
     with pytest.raises(gz.MalformedError):
         gz.decompress(bytes(bad))
+
+
+def test_zlib_preset_dictionary():
+    """zdict parity with C zlib both directions (RFC 1950 §2.2 FDICT;
+    the reference only records the flag, zl.ml:254/271)."""
+    import zlib
+
+    from decompress_tpu import zl
+
+    zdict = b"the quick brown fox jumps over the lazy dog " * 50
+    data = b"a lazy dog and the quick brown fox; " * 300 + b"tail"
+
+    c = zlib.compressobj(6, zlib.DEFLATED, 15, 9, 0, zdict)
+    comp = c.compress(data) + c.flush()
+    assert zl.inflate(comp, zdict=zdict) == data
+
+    ours = zl.deflate(data, 6, zdict=zdict)
+    d = zlib.decompressobj(zdict=zdict)
+    assert d.decompress(ours) == data
+    # the dictionary must actually help (it seeds the match window)
+    assert len(ours) < len(zl.deflate(data, 6))
+
+    with pytest.raises(zl.MalformedError):
+        zl.inflate(ours, zdict=b"wrong dictionary")
+    with pytest.raises(zl.MalformedError):
+        zl.inflate(ours)
