@@ -163,7 +163,7 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
 
 INDEX_ID = b"TZ"  # gzip FEXTRA subfield carrying member byte sizes
 SPLIT_ID = b"TS"  # FEXTRA subfield: per-member symbol-stream split points
-N_SPLITS = 8      # chunks per member for the chunk-parallel decoder
+N_SPLITS = 4      # chunks per member for the chunk-parallel decoder
 
 
 def sharded_gzip_compress(

@@ -115,13 +115,15 @@ uncompress = inflate
 class Inf:
     """Streaming zlib decoder: header check, raw inflate, Adler verify."""
 
-    def __init__(self, o_size: int = de.io_buffer_size):
+    def __init__(self, o_size: int = de.io_buffer_size,
+                 zdict: bytes | None = None):
         from . import streaming
         from .gz import checksum as _cks
 
         self._streaming = streaming
         self._native = _cks
         self.o_size = o_size
+        self.zdict = zdict
         self._head = b""
         self._inf = None
         self._trailer = b""
@@ -153,10 +155,20 @@ class Inf:
             return "invalid kind of flow"
         if (cmf >> 4) > 7:
             return "invalid window"
+        hdr = 2
+        window = None
         if flg & 0x20:
-            return "unsupported preset dictionary"
-        self._inf = self._streaming.Inflate(self.o_size)
-        rest = self._head[2:]
+            if self.zdict is None:
+                return "unsupported preset dictionary"
+            if len(self._head) < 6:
+                return None if not self._eoi else "unexpected end of input"
+            dictid = int.from_bytes(self._head[2:6], "big")
+            if dictid != checksum.adler32(self.zdict):
+                return "invalid dictionary checksum"
+            window = self.zdict[-32768:]
+            hdr = 6
+        self._inf = self._streaming.Inflate(self.o_size, window=window)
+        rest = self._head[hdr:]
         self._head = b""
         if rest:
             self._inf.src(rest)
@@ -175,6 +187,8 @@ class Inf:
                 self.error = err
                 self._phase = "bad"
                 return TOKEN_MALFORMED
+            if self._inf is None:
+                return TOKEN_AWAIT  # FDICT: waiting for the DICTID bytes
             self._phase = "body"
         if self._phase == "body":
             tok = self._inf.decode()
@@ -212,7 +226,7 @@ class Inf:
 
     def reset(self) -> None:
         """Reuse for a new stream (reference Zl reset, zl.ml:354–378)."""
-        self.__init__(self.o_size)
+        self.__init__(self.o_size, zdict=self.zdict)
 
 
 class Def:

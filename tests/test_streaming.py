@@ -307,3 +307,40 @@ def test_dynamic_false_forces_fixed():
     comp = zl.deflate(data, 6, segment_size=4096, dynamic=False)
     assert zlib.decompress(comp) == data
     assert (comp[2] >> 1) & 3 == 1  # BTYPE fixed
+
+
+def test_zl_streaming_preset_dictionary():
+    """Streaming zdict decode across tiny chunk feeds (the DICTID bytes
+    arrive split); missing dictionary stays a clean Malformed token."""
+    import zlib
+
+    from decompress_tpu import zl
+
+    zdict = b"the quick brown fox jumps over the lazy dog " * 50
+    data = b"a lazy dog and the quick brown fox; " * 300
+    c = zlib.compressobj(6, zlib.DEFLATED, 15, 9, 0, zdict)
+    comp = c.compress(data) + c.flush()
+
+    dec = zl.Inf(o_size=512, zdict=zdict)
+    feed = [comp[i:i + 3] for i in range(0, len(comp), 3)]
+    out, fi = b"", 0
+    while True:
+        tok = dec.decode()
+        if tok == "await":
+            dec.src(feed[fi] if fi < len(feed) else b"")
+            fi += 1
+        elif tok == "flush":
+            out += dec.flush()
+        elif tok == "end":
+            out += dec.flush()
+            break
+        else:
+            raise AssertionError(dec.error)
+    assert out == data
+
+    dec = zl.Inf()
+    dec.src(comp)
+    dec.src(b"")
+    while (t := dec.decode()) not in ("end", "malformed"):
+        dec.flush()
+    assert t == "malformed" and "dictionary" in dec.error
