@@ -410,6 +410,29 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
                 level=level, seg_len=seg, force_exact=True,
                 window_bits=window_bits,
             )
+        if lz77_ops.LEVELS[level].two_round:
+            lit_cost, dist_cost = lz77_ops._cost_tables_host(
+                np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
+            )
+            res2 = lz77_ops.lz77_parse_cost(
+                d_data, res["cand_length"], res["cand_dist"],
+                jnp.asarray(n_valid), jnp.asarray(lit_cost),
+                jnp.asarray(dist_cost), seg_len=seg,
+                lazy=lz77_ops.LEVELS[level].lazy,
+            )
+            if not bool(np.asarray(res2["exact"])[:b].all()):
+                resx = lz77_ops.lz77_analyze(
+                    d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
+                    level=level, seg_len=seg, force_exact=True,
+                    window_bits=window_bits,
+                )
+                res2 = lz77_ops.lz77_parse_cost(
+                    d_data, resx["cand_length"], resx["cand_dist"],
+                    jnp.asarray(n_valid), jnp.asarray(lit_cost),
+                    jnp.asarray(dist_cost), seg_len=seg,
+                    lazy=lz77_ops.LEVELS[level].lazy,
+                )
+            res = res2
         _finish_batch(w, arr, lo, hi, nseg, level, seg, lz77_ops,
                       data, n_valid, b, d_data, res, force_block)
 
@@ -748,7 +771,7 @@ def _analyze_one(chunk: bytes, hist: bytes, level: int, seg: int):
     n_valid[0] = n
     hist_len = np.zeros(b_pad, np.int32)
     hist_len[0] = hl
-    res = lz77_ops.analyze(
+    res = lz77_ops.analyze2(
         jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
         level=level, seg_len=seg,
     )

@@ -60,6 +60,7 @@ class LevelConfig:
     k_candidates: int   # sorted-bucket candidates (hash-chain depth)
     lazy: bool          # one-step lazy matching
     exact: bool = False  # exact linear extension (fallback / max quality)
+    two_round: bool = False  # cost-aware re-parse with round-A code lengths
 
 
 #: Per-level candidate depth (de.ml:4021–4049's configuration ladder).
@@ -73,12 +74,12 @@ LEVELS: dict[int, LevelConfig] = {
     4: LevelConfig(8, True),
     5: LevelConfig(12, True),
     6: LevelConfig(16, True),
-    7: LevelConfig(24, True),
-    8: LevelConfig(32, True),
+    7: LevelConfig(24, True, two_round=True),
+    8: LevelConfig(32, True, two_round=True),
     # level 9 relies on the same fingerprint descent (the verification
     # pass makes it exact regardless); deeper candidate search instead
     # of the 2x-slower linear extension
-    9: LevelConfig(48, True),
+    9: LevelConfig(48, True, two_round=True),
 }
 
 
@@ -493,56 +494,191 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
         else:
             defer = jnp.zeros(seg_len, bool)
         take = (length >= MIN_MATCH) & ~defer
-        plen = length
 
-        # parse over the payload-only domain [0, P)
-        ppos = jnp.arange(p, dtype=jnp.int32)
-        g = jnp.minimum(ppos + 1, p - 1)
-        step = jnp.where(take, plen, 1)
-        g = g.at[:seg_len].set(
-            jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p - 1)
-        )
-        if _ablate == "parse":
-            on_path_full = g > jnp.flip(g)  # data-dependent placeholder
-        elif _ablate == "fullparse":
-            on_path_full = _mark_path(g, levels)
-        else:
-            on_path_full = _mark_path_hybrid(g, levels)
-
-        on_path = on_path_full[:seg_len] & (pay_idx < n)
-        is_match = on_path & take
-        mlen = jnp.where(is_match, plen, 0)
-        mdist = jnp.where(is_match, dist, 0)
-
-        exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n,
-                                hist=hist)
-
-        lcode = jnp.asarray(tables.LENGTH_CODE_MAP)[
-            jnp.clip(mlen - MIN_MATCH, 0, 255)
-        ]
-        lit = seg[hist:t].astype(jnp.int32)
-        sym = jnp.where(is_match, 257 + lcode, lit)
-        emit = on_path.astype(jnp.int32)
-        hist_lit = jnp.zeros(286, jnp.int32).at[sym].add(emit, mode="drop")
-        dmap = jnp.asarray(tables.DIST_CODE_MAP)
-        dsym = jnp.where(
-            mdist <= 256,
-            dmap[jnp.clip(mdist - 1, 0, 255)],
-            dmap[jnp.clip(256 + ((mdist - 1) >> 7), 0, 511)],
-        )
-        hist_dist = (
-            jnp.zeros(30, jnp.int32)
-            .at[dsym]
-            .add(is_match.astype(jnp.int32), mode="drop")
-        )
-        return dict(
-            on_path=on_path,
-            is_match=is_match,
-            length=mlen,
-            dist=mdist,
-            hist_lit=hist_lit,
-            hist_dist=hist_dist,
-            exact=exact,
-        )
+        out = _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
+                                   p, levels, _ablate)
+        out["cand_length"] = length
+        out["cand_dist"] = dist
+        return out
 
     return jax.vmap(one)(data, n_valid, hist_len)
+
+
+def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
+                         _ablate=""):
+    """Shared tail of the analyze passes: greedy walk over the chosen
+    take/step arrays, exact verification, symbol histograms."""
+    t = hist + seg_len
+    pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+
+    # parse over the payload-only domain [0, P)
+    ppos = jnp.arange(p, dtype=jnp.int32)
+    g = jnp.minimum(ppos + 1, p - 1)
+    step = jnp.where(take, plen, 1)
+    g = g.at[:seg_len].set(
+        jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p - 1)
+    )
+    if _ablate == "parse":
+        on_path_full = g > jnp.flip(g)  # data-dependent placeholder
+    elif _ablate == "fullparse":
+        on_path_full = _mark_path(g, levels)
+    else:
+        on_path_full = _mark_path_hybrid(g, levels)
+
+    on_path = on_path_full[:seg_len] & (pay_idx < n)
+    is_match = on_path & take
+    mlen = jnp.where(is_match, plen, 0)
+    mdist = jnp.where(is_match, dist, 0)
+
+    exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n,
+                            hist=hist)
+
+    lcode = jnp.asarray(tables.LENGTH_CODE_MAP)[
+        jnp.clip(mlen - MIN_MATCH, 0, 255)
+    ]
+    lit = seg[hist:t].astype(jnp.int32)
+    sym = jnp.where(is_match, 257 + lcode, lit)
+    emit = on_path.astype(jnp.int32)
+    hist_lit = jnp.zeros(286, jnp.int32).at[sym].add(emit, mode="drop")
+    dmap = jnp.asarray(tables.DIST_CODE_MAP)
+    dsym = jnp.where(
+        mdist <= 256,
+        dmap[jnp.clip(mdist - 1, 0, 255)],
+        dmap[jnp.clip(256 + ((mdist - 1) >> 7), 0, 511)],
+    )
+    hist_dist = (
+        jnp.zeros(30, jnp.int32)
+        .at[dsym]
+        .add(is_match.astype(jnp.int32), mode="drop")
+    )
+    return dict(
+        on_path=on_path,
+        is_match=is_match,
+        length=mlen,
+        dist=mdist,
+        hist_lit=hist_lit,
+        hist_dist=hist_dist,
+        exact=exact,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy"))
+def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
+                    *, seg_len: int, hist: int = HIST, lazy: bool = True):
+    """Cost-aware re-parse (round B of the two-round analysis).
+
+    Round A's greedy parse fixes a symbol distribution; its canonical
+    code lengths become *bit-cost tables* (lit_cost float32[B, 286],
+    dist_cost float32[B, 30]) and the take/defer decisions re-run with
+    exact costs: a match is taken only when its coded bits undercut the
+    literal run it covers (literal-run cost from a prefix sum of
+    per-byte code lengths — exact, not an entropy estimate), and lazy
+    deferral compares bit GAINS rather than raw lengths.  The
+    candidates (cand_length/cand_dist from round A) are reused, so the
+    expensive match-finding never re-runs.  This plays the role of the
+    reference Ns encoder's cost-model block decisions (de.ml:3620–3692)
+    extended to the parse itself.
+    """
+    p = _ceil_pow2(seg_len + MAX_MATCH + 1)
+    levels = p.bit_length() - 1
+    lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
+    lextra = jnp.asarray(tables.LENGTH_EXTRA, dtype=jnp.float32)
+    dextra = jnp.asarray(tables.DIST_EXTRA, dtype=jnp.float32)
+    dmap = jnp.asarray(tables.DIST_CODE_MAP)
+
+    def one(seg, length, dist, n, lcost, dcost):
+        pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+        length = jnp.where(pay_idx < n, length, 0)
+        lit = seg[hist:].astype(jnp.int32)
+        litbits = lcost[lit]
+        pref = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.cumsum(litbits)]
+        )
+        lcode = lcode_map[jnp.clip(length - MIN_MATCH, 0, 255)]
+        dsym = jnp.where(
+            dist <= 256,
+            dmap[jnp.clip(dist - 1, 0, 255)],
+            dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
+        )
+        cost_m = (
+            lcost[jnp.clip(257 + lcode, 0, 285)]
+            + lextra[jnp.clip(lcode, 0, 28)]
+            + dcost[jnp.clip(dsym, 0, 29)]
+            + dextra[jnp.clip(dsym, 0, 29)]
+        )
+        span = pref[jnp.minimum(pay_idx + length, seg_len)] - pref[pay_idx]
+        gain = jnp.where(length >= MIN_MATCH, span - cost_m, jnp.float32(-1e9))
+        if lazy:
+            nxt_gain = jnp.concatenate(
+                [gain[1:], jnp.full(1, -1e9, jnp.float32)]
+            )
+            defer = nxt_gain - litbits > gain
+        else:
+            defer = jnp.zeros(seg_len, bool)
+        take = (length >= MIN_MATCH) & (gain > 0) & ~defer
+        return _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
+                                    p, levels)
+
+    return jax.vmap(one)(data, cand_length, cand_dist, n_valid, lit_cost,
+                         dist_cost)
+
+
+def _cost_tables_host(hist_lit, hist_dist):
+    """Round-A histograms -> float32 bit-cost tables (host).
+
+    Canonical code lengths from the round-A distribution; symbols the
+    round-A parse never produced get a pessimistic-but-usable default
+    so round B may still introduce them when clearly profitable.
+    """
+    from ..core import huffman
+
+    b = hist_lit.shape[0]
+    lit_cost = np.full((b, 286), 13.0, np.float32)
+    dist_cost = np.full((b, 30), 13.0, np.float32)
+    for i in range(b):
+        hl = hist_lit[i].astype(np.int64)
+        hl[tables.EOB] += 1
+        ll = huffman.code_lengths_from_frequencies(hl)
+        dl = huffman.code_lengths_from_frequencies(hist_dist[i].astype(np.int64))
+        lit_cost[i, : ll.size] = np.where(ll > 0, ll, 13.0)
+        dist_cost[i, : dl.size] = np.where(dl > 0, dl, 13.0)
+    return lit_cost, dist_cost
+
+
+def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
+             window_bits: int = 15, hist: int = HIST):
+    """Full per-level analysis: round A (greedy+lazy) plus, for
+    two_round levels, the cost-aware round-B re-parse; fingerprint
+    overestimates retry with the exact-extension candidates, so the
+    result is always byte-exact."""
+    cfg = LEVELS[level]
+    res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len,
+                       window_bits=window_bits, hist=hist)
+    if not cfg.exact and not bool(np.asarray(res["exact"]).all()):
+        res = lz77_analyze(data, n_valid, hist_len, level=level,
+                           seg_len=seg_len, force_exact=True,
+                           window_bits=window_bits, hist=hist)
+    if not cfg.two_round:
+        return res
+    lit_cost, dist_cost = _cost_tables_host(
+        np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
+    )
+    import jax.numpy as _jnp
+
+    res2 = lz77_parse_cost(
+        data, res["cand_length"], res["cand_dist"], n_valid,
+        _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
+        seg_len=seg_len, hist=hist, lazy=cfg.lazy,
+    )
+    if not bool(np.asarray(res2["exact"]).all()):
+        # a fingerprint overestimate among round-B's selections: redo
+        # with exact-extension candidates
+        resx = lz77_analyze(data, n_valid, hist_len, level=level,
+                            seg_len=seg_len, force_exact=True,
+                            window_bits=window_bits, hist=hist)
+        res2 = lz77_parse_cost(
+            data, resx["cand_length"], resx["cand_dist"], n_valid,
+            _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
+            seg_len=seg_len, hist=hist, lazy=cfg.lazy,
+        )
+    return res2

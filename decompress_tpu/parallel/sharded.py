@@ -113,8 +113,8 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
         d_nv = _shard_batch(cnv, mesh)
         d_hl = _shard_batch(chl, mesh)
 
-        res = lz77.analyze(d_data, d_nv, d_hl, level=level,
-                           seg_len=member_size, hist=hist)
+        res = lz77.analyze2(d_data, d_nv, d_hl, level=level,
+                            seg_len=member_size, hist=hist)
         hist_lit = np.asarray(res["hist_lit"])[:b]
         hist_dist = np.asarray(res["hist_dist"])[:b]
 
