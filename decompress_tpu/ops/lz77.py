@@ -196,13 +196,23 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     # ---- sorted-bucket candidates (depth-K hash chain equivalent) ----
     pos = jnp.arange(t, dtype=jnp.int32)
     sh, sp = jax.lax.sort((h, pos), num_keys=2)
-    # rank-space probe arrays: one gather each
+    # rank-space probe arrays: one gather each.  Offset fingerprints
+    # (span S at byte offset O probes bytes [O, O+S)) refine the grade
+    # ladder between the power-of-two spans.
     w_s = w[sp]
     w4_s = jnp.roll(w, -4)[sp]
+    w6_s = jnp.roll(w, -6)[sp]
+    f8o4_s = jnp.roll(fp[8], -4)[sp]
+    w10_s = jnp.roll(w, -10)[sp]
     f16_s = fp[16][sp]
+    w16_s = jnp.roll(w, -16)[sp]
+    f16o8_s = jnp.roll(fp[16], -8)[sp]
     f32_s = fp[32][sp]
+    f16o32_s = jnp.roll(fp[16], -32)[sp]
     f64_s = fp[64][sp]
+    f32o64_s = jnp.roll(fp[32], -64)[sp]
     f128_s = fp[128][sp]
+    f64o128_s = jnp.roll(fp[64], -128)[sp]
 
     sp_ok = sp < valid_hi
     neg_inf = jnp.int32(-(1 << 30))
@@ -229,20 +239,40 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         x8 = _shift_prev(w4_s, k, jnp.uint32(0)) ^ w4_s
         plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
         len8 = len4 & (x8 == 0)
-        eq16 = (_shift_prev(f16_s, k, jnp.uint32(0)) == f16_s) & len8
-        # 32/64-byte grade bits differentiate candidates past the
-        # 16-byte tie (cheap now that probes are rank-space shifts; the
-        # fp64 probe was dropped in round 1 when probes cost K gathers)
-        eq32 = (_shift_prev(f32_s, k, jnp.uint32(0)) == f32_s) & eq16
-        eq64 = (_shift_prev(f64_s, k, jnp.uint32(0)) == f64_s) & eq32
-        eq128 = (_shift_prev(f128_s, k, jnp.uint32(0)) == f128_s) & eq64
+        # 8..16-byte floors: word/fp8 probes at byte offsets 6/4/10
+        eq10 = (_shift_prev(w6_s, k, jnp.uint32(0)) == w6_s) & len8
+        eq12 = (_shift_prev(f8o4_s, k, jnp.uint32(0)) == f8o4_s) & eq10
+        eq14 = (_shift_prev(w10_s, k, jnp.uint32(0)) == w10_s) & eq12
+        eq16 = (_shift_prev(f16_s, k, jnp.uint32(0)) == f16_s) & eq14
+        eq20 = (_shift_prev(w16_s, k, jnp.uint32(0)) == w16_s) & eq16
+        # graded length-floor ladder past the 16-byte tie: chained
+        # power-of-two and offset fingerprints give 8-byte resolution
+        # in 16..64 and coarser beyond (cheap now that probes are
+        # rank-space shifts; round 1 dropped fp64 when probes cost K
+        # gathers each).  Weights are floor deltas, so grade stays a
+        # monotone proxy of the guaranteed match length.
+        eq24 = (_shift_prev(f16o8_s, k, jnp.uint32(0)) == f16o8_s) & eq20
+        eq32 = (_shift_prev(f32_s, k, jnp.uint32(0)) == f32_s) & eq24
+        eq48 = (_shift_prev(f16o32_s, k, jnp.uint32(0)) == f16o32_s) & eq32
+        eq64 = (_shift_prev(f64_s, k, jnp.uint32(0)) == f64_s) & eq48
+        eq96 = (_shift_prev(f32o64_s, k, jnp.uint32(0)) == f32o64_s) & eq64
+        eq128 = (_shift_prev(f128_s, k, jnp.uint32(0)) == f128_s) & eq96
+        eq192 = (_shift_prev(f64o128_s, k, jnp.uint32(0)) == f64o128_s) & eq128
         grade = (
             jnp.where(ok, plen4, 0)
             + plen8
-            + jnp.where(eq16, 8, 0)
-            + jnp.where(eq32, 16, 0)
-            + jnp.where(eq64, 32, 0)
-            + jnp.where(eq128, 64, 0)
+            + jnp.where(eq10, 2, 0)
+            + jnp.where(eq12, 2, 0)
+            + jnp.where(eq14, 2, 0)
+            + jnp.where(eq16, 2, 0)
+            + jnp.where(eq20, 4, 0)
+            + jnp.where(eq24, 4, 0)
+            + jnp.where(eq32, 8, 0)
+            + jnp.where(eq48, 16, 0)
+            + jnp.where(eq64, 16, 0)
+            + jnp.where(eq96, 32, 0)
+            + jnp.where(eq128, 32, 0)
+            + jnp.where(eq192, 64, 0)
         )
         usable = ok & (plen4 >= 3)
         score = jnp.where(usable, (grade << 17) - dist, neg_inf)
