@@ -216,12 +216,32 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
 
     sp_ok = sp < valid_hi
     neg_inf = jnp.int32(-(1 << 30))
-    best_score = jnp.full(t, neg_inf)
-    best_cand = jnp.zeros(t, jnp.int32)
-    best_p4 = jnp.zeros(t, jnp.int32)
-    for k in range(1, cfg.k_candidates + 1):
-        cand_p = _shift_prev(sp, k, -1)
-        cand_h = _shift_prev(sh, k, -1)
+    kmax = cfg.k_candidates
+    # pad every probe array with kmax leading fill values so the k-shift
+    # becomes a dynamic slice; the probe loop is a lax.scan over k, so
+    # the traced body is emitted ONCE (compile time independent of K —
+    # the unrolled form took >14 min to compile at K=16 with the full
+    # grade ladder)
+    probes = (w_s, w4_s, w6_s, f8o4_s, w10_s, f16_s, w16_s, f16o8_s,
+              f32_s, f16o32_s, f64_s, f32o64_s, f128_s, f64o128_s)
+    probes_pad = tuple(
+        jnp.concatenate([jnp.zeros(kmax, jnp.uint32), a]) for a in probes
+    )
+    sp_pad = jnp.concatenate([jnp.full(kmax, -1, jnp.int32), sp])
+    sh_pad = jnp.concatenate([jnp.full(kmax, -1, jnp.int32), sh])
+
+    def probe_step(carry, k):
+        best_score, best_cand, best_p4 = carry
+
+        def shifted(a_pad):
+            return jax.lax.dynamic_slice(a_pad, (kmax - k,), (t,))
+
+        cand_p = shifted(sp_pad)
+        cand_h = shifted(sh_pad)
+        (w_k, w4_k, w6_k, f8o4_k, w10_k, f16_k, w16_k, f16o8_k,
+         f32_k, f16o32_k, f64_k, f32o64_k, f128_k, f64o128_k) = (
+            shifted(a) for a in probes_pad
+        )
         dist = sp - cand_p
         ok = (
             (cand_p >= 0)
@@ -231,33 +251,30 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             & (cand_p < valid_hi)
             & sp_ok
         )
-        x4 = _shift_prev(w_s, k, jnp.uint32(0)) ^ w_s
+        x4 = w_k ^ w_s
         plen4 = _prefix_bytes_equal(x4)
         len4 = (x4 == 0) & ok
         # second exact word: precise grading over the 4..8-byte range
         # where most text matches live
-        x8 = _shift_prev(w4_s, k, jnp.uint32(0)) ^ w4_s
+        x8 = w4_k ^ w4_s
         plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
         len8 = len4 & (x8 == 0)
-        # 8..16-byte floors: word/fp8 probes at byte offsets 6/4/10
-        eq10 = (_shift_prev(w6_s, k, jnp.uint32(0)) == w6_s) & len8
-        eq12 = (_shift_prev(f8o4_s, k, jnp.uint32(0)) == f8o4_s) & eq10
-        eq14 = (_shift_prev(w10_s, k, jnp.uint32(0)) == w10_s) & eq12
-        eq16 = (_shift_prev(f16_s, k, jnp.uint32(0)) == f16_s) & eq14
-        eq20 = (_shift_prev(w16_s, k, jnp.uint32(0)) == w16_s) & eq16
-        # graded length-floor ladder past the 16-byte tie: chained
-        # power-of-two and offset fingerprints give 8-byte resolution
-        # in 16..64 and coarser beyond (cheap now that probes are
-        # rank-space shifts; round 1 dropped fp64 when probes cost K
-        # gathers each).  Weights are floor deltas, so grade stays a
-        # monotone proxy of the guaranteed match length.
-        eq24 = (_shift_prev(f16o8_s, k, jnp.uint32(0)) == f16o8_s) & eq20
-        eq32 = (_shift_prev(f32_s, k, jnp.uint32(0)) == f32_s) & eq24
-        eq48 = (_shift_prev(f16o32_s, k, jnp.uint32(0)) == f16o32_s) & eq32
-        eq64 = (_shift_prev(f64_s, k, jnp.uint32(0)) == f64_s) & eq48
-        eq96 = (_shift_prev(f32o64_s, k, jnp.uint32(0)) == f32o64_s) & eq64
-        eq128 = (_shift_prev(f128_s, k, jnp.uint32(0)) == f128_s) & eq96
-        eq192 = (_shift_prev(f64o128_s, k, jnp.uint32(0)) == f64o128_s) & eq128
+        # length-floor ladder: chained power-of-two and offset
+        # fingerprints give fine resolution where matches are common
+        # (8..32) and coarser beyond; weights are floor deltas, so the
+        # grade stays a monotone proxy of the guaranteed match length.
+        eq10 = (w6_k == w6_s) & len8
+        eq12 = (f8o4_k == f8o4_s) & eq10
+        eq14 = (w10_k == w10_s) & eq12
+        eq16 = (f16_k == f16_s) & eq14
+        eq20 = (w16_k == w16_s) & eq16
+        eq24 = (f16o8_k == f16o8_s) & eq20
+        eq32 = (f32_k == f32_s) & eq24
+        eq48 = (f16o32_k == f16o32_s) & eq32
+        eq64 = (f64_k == f64_s) & eq48
+        eq96 = (f32o64_k == f32o64_s) & eq64
+        eq128 = (f128_k == f128_s) & eq96
+        eq192 = (f64o128_k == f64o128_s) & eq128
         grade = (
             jnp.where(ok, plen4, 0)
             + plen8
@@ -277,9 +294,19 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         usable = ok & (plen4 >= 3)
         score = jnp.where(usable, (grade << 17) - dist, neg_inf)
         better = score > best_score  # first max wins: argmax parity
-        best_score = jnp.where(better, score, best_score)
-        best_cand = jnp.where(better, cand_p, best_cand)
-        best_p4 = jnp.where(better, plen4, best_p4)
+        return (
+            jnp.where(better, score, best_score),
+            jnp.where(better, cand_p, best_cand),
+            jnp.where(better, plen4, best_p4),
+        ), None
+
+    # carry init derives from sp so it inherits the varying manual axes
+    # under shard_map (cf. the parse scan)
+    (best_score, best_cand, best_p4), _ = jax.lax.scan(
+        probe_step,
+        (sp * 0 + neg_inf, sp * 0, sp * 0),
+        jnp.arange(1, kmax + 1, dtype=jnp.int32),
+    )
 
     # winner back to position space: one packed scatter
     btier_r = jnp.where(best_p4 >= 4, 2, 1)  # 1 = exactly-3-byte candidate
