@@ -61,6 +61,7 @@ class LevelConfig:
     lazy: bool          # one-step lazy matching
     exact: bool = False  # exact linear extension (fallback / max quality)
     two_round: bool = False  # cost-aware re-parse with round-A code lengths
+    full_ladder: bool = True  # 13-probe length-floor grading (speed knob)
 
 
 #: Per-level candidate depth (de.ml:4021–4049's configuration ladder).
@@ -68,10 +69,10 @@ class LevelConfig:
 #: noise of K=8), so depths run much deeper than classic zlib chains;
 #: the ladder's cost axis is mostly compile time and lazy matching.
 LEVELS: dict[int, LevelConfig] = {
-    1: LevelConfig(4, False),
-    2: LevelConfig(6, False),
-    3: LevelConfig(8, False),
-    4: LevelConfig(8, True),
+    1: LevelConfig(4, False, full_ladder=False),
+    2: LevelConfig(6, False, full_ladder=False),
+    3: LevelConfig(8, False, full_ladder=False),
+    4: LevelConfig(8, True, full_ladder=False),
     5: LevelConfig(12, True),
     6: LevelConfig(16, True),
     7: LevelConfig(24, True, two_round=True),
@@ -201,18 +202,26 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     # ladder between the power-of-two spans.
     w_s = w[sp]
     w4_s = jnp.roll(w, -4)[sp]
-    w6_s = jnp.roll(w, -6)[sp]
-    f8o4_s = jnp.roll(fp[8], -4)[sp]
-    w10_s = jnp.roll(w, -10)[sp]
     f16_s = fp[16][sp]
-    w16_s = jnp.roll(w, -16)[sp]
-    f16o8_s = jnp.roll(fp[16], -8)[sp]
-    f32_s = fp[32][sp]
-    f16o32_s = jnp.roll(fp[16], -32)[sp]
-    f64_s = fp[64][sp]
-    f32o64_s = jnp.roll(fp[32], -64)[sp]
-    f128_s = fp[128][sp]
-    f64o128_s = jnp.roll(fp[64], -128)[sp]
+    if cfg.full_ladder:
+        w6_s = jnp.roll(w, -6)[sp]
+        f8o4_s = jnp.roll(fp[8], -4)[sp]
+        w10_s = jnp.roll(w, -10)[sp]
+        w16_s = jnp.roll(w, -16)[sp]
+        f16o8_s = jnp.roll(fp[16], -8)[sp]
+        f32_s = fp[32][sp]
+        f16o32_s = jnp.roll(fp[16], -32)[sp]
+        f64_s = fp[64][sp]
+        f32o64_s = jnp.roll(fp[32], -64)[sp]
+        f128_s = fp[128][sp]
+        f64o128_s = jnp.roll(fp[64], -128)[sp]
+        extra_probes = (w6_s, f8o4_s, w10_s, w16_s, f16o8_s, f32_s,
+                        f16o32_s, f64_s, f32o64_s, f128_s, f64o128_s)
+    else:
+        # short ladder (fast levels): exact words + one 16 and one
+        # 64-byte fingerprint
+        f64_s = fp[64][sp]
+        extra_probes = (f64_s,)
 
     sp_ok = sp < valid_hi
     neg_inf = jnp.int32(-(1 << 30))
@@ -222,8 +231,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     # the traced body is emitted ONCE (compile time independent of K —
     # the unrolled form took >14 min to compile at K=16 with the full
     # grade ladder)
-    probes = (w_s, w4_s, w6_s, f8o4_s, w10_s, f16_s, w16_s, f16o8_s,
-              f32_s, f16o32_s, f64_s, f32o64_s, f128_s, f64o128_s)
+    probes = (w_s, w4_s, f16_s) + extra_probes
     probes_pad = tuple(
         jnp.concatenate([jnp.zeros(kmax, jnp.uint32), a]) for a in probes
     )
@@ -238,10 +246,8 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
 
         cand_p = shifted(sp_pad)
         cand_h = shifted(sh_pad)
-        (w_k, w4_k, w6_k, f8o4_k, w10_k, f16_k, w16_k, f16o8_k,
-         f32_k, f16o32_k, f64_k, f32o64_k, f128_k, f64o128_k) = (
-            shifted(a) for a in probes_pad
-        )
+        shifted_probes = [shifted(a) for a in probes_pad]
+        w_k, w4_k, f16_k = shifted_probes[:3]
         dist = sp - cand_p
         ok = (
             (cand_p >= 0)
@@ -259,38 +265,52 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         x8 = w4_k ^ w4_s
         plen8 = jnp.where(len4, _prefix_bytes_equal(x8), 0)
         len8 = len4 & (x8 == 0)
-        # length-floor ladder: chained power-of-two and offset
-        # fingerprints give fine resolution where matches are common
-        # (8..32) and coarser beyond; weights are floor deltas, so the
-        # grade stays a monotone proxy of the guaranteed match length.
-        eq10 = (w6_k == w6_s) & len8
-        eq12 = (f8o4_k == f8o4_s) & eq10
-        eq14 = (w10_k == w10_s) & eq12
-        eq16 = (f16_k == f16_s) & eq14
-        eq20 = (w16_k == w16_s) & eq16
-        eq24 = (f16o8_k == f16o8_s) & eq20
-        eq32 = (f32_k == f32_s) & eq24
-        eq48 = (f16o32_k == f16o32_s) & eq32
-        eq64 = (f64_k == f64_s) & eq48
-        eq96 = (f32o64_k == f32o64_s) & eq64
-        eq128 = (f128_k == f128_s) & eq96
-        eq192 = (f64o128_k == f64o128_s) & eq128
-        grade = (
-            jnp.where(ok, plen4, 0)
-            + plen8
-            + jnp.where(eq10, 2, 0)
-            + jnp.where(eq12, 2, 0)
-            + jnp.where(eq14, 2, 0)
-            + jnp.where(eq16, 2, 0)
-            + jnp.where(eq20, 4, 0)
-            + jnp.where(eq24, 4, 0)
-            + jnp.where(eq32, 8, 0)
-            + jnp.where(eq48, 16, 0)
-            + jnp.where(eq64, 16, 0)
-            + jnp.where(eq96, 32, 0)
-            + jnp.where(eq128, 32, 0)
-            + jnp.where(eq192, 64, 0)
-        )
+        if cfg.full_ladder:
+            # length-floor ladder: chained power-of-two and offset
+            # fingerprints give fine resolution where matches are
+            # common (8..32) and coarser beyond; weights are floor
+            # deltas, so the grade stays a monotone proxy of the
+            # guaranteed match length.
+            (w6_k, f8o4_k, w10_k, w16_k, f16o8_k, f32_k, f16o32_k,
+             f64_k, f32o64_k, f128_k, f64o128_k) = shifted_probes[3:]
+            eq10 = (w6_k == w6_s) & len8
+            eq12 = (f8o4_k == f8o4_s) & eq10
+            eq14 = (w10_k == w10_s) & eq12
+            eq16 = (f16_k == f16_s) & eq14
+            eq20 = (w16_k == w16_s) & eq16
+            eq24 = (f16o8_k == f16o8_s) & eq20
+            eq32 = (f32_k == f32_s) & eq24
+            eq48 = (f16o32_k == f16o32_s) & eq32
+            eq64 = (f64_k == f64_s) & eq48
+            eq96 = (f32o64_k == f32o64_s) & eq64
+            eq128 = (f128_k == f128_s) & eq96
+            eq192 = (f64o128_k == f64o128_s) & eq128
+            grade = (
+                jnp.where(ok, plen4, 0)
+                + plen8
+                + jnp.where(eq10, 2, 0)
+                + jnp.where(eq12, 2, 0)
+                + jnp.where(eq14, 2, 0)
+                + jnp.where(eq16, 2, 0)
+                + jnp.where(eq20, 4, 0)
+                + jnp.where(eq24, 4, 0)
+                + jnp.where(eq32, 8, 0)
+                + jnp.where(eq48, 16, 0)
+                + jnp.where(eq64, 16, 0)
+                + jnp.where(eq96, 32, 0)
+                + jnp.where(eq128, 32, 0)
+                + jnp.where(eq192, 64, 0)
+            )
+        else:
+            (f64_k,) = shifted_probes[3:]
+            eq16 = (f16_k == f16_s) & len8
+            eq64 = (f64_k == f64_s) & eq16
+            grade = (
+                jnp.where(ok, plen4, 0)
+                + plen8
+                + jnp.where(eq16, 8, 0)
+                + jnp.where(eq64, 48, 0)
+            )
         usable = ok & (plen4 >= 3)
         score = jnp.where(usable, (grade << 17) - dist, neg_inf)
         better = score > best_score  # first max wins: argmax parity
