@@ -234,9 +234,15 @@ def compress_bound(n: int, segment_size: int | None = None) -> int:
     return n + 6 * (n // chunk + 1) + 16
 
 
+#: strategy name -> dedicated LEVELS slot (zlib Z_RLE / Z_HUFFMAN_ONLY
+#: analogues; "fixed" is the dynamic=False knob, zl.ml:560)
+STRATEGY_LEVELS = {"rle": 100, "huffman_only": 101}
+
+
 def deflate(data, level: int = 6, *, segment_size: int | None = None,
             dynamic: bool = True, window_bits: int = 15,
-            dictionary: bytes | None = None) -> bytes:
+            dictionary: bytes | None = None,
+            strategy: str | None = None) -> bytes:
     """One-shot DEFLATE compress (TPU pipeline; level 0 = stored).
 
     ``dynamic=False`` forces fixed-Huffman blocks (the reference
@@ -249,6 +255,13 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
     ``inflate(window=...)``)."""
     if not 8 <= window_bits <= 15:
         raise ValueError("window_bits must be in 8..15")
+    if strategy is not None:
+        if strategy == "fixed":
+            dynamic = False
+        elif strategy in STRATEGY_LEVELS:
+            level = STRATEGY_LEVELS[strategy] if level != 0 else 0
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
     arr = _np_u8(data)
     n = arr.size
     w = bitstream.BitWriter()

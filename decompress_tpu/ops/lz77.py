@@ -62,6 +62,7 @@ class LevelConfig:
     exact: bool = False  # exact linear extension (fallback / max quality)
     two_round: bool = False  # cost-aware re-parse with round-A code lengths
     full_ladder: bool = True  # 13-probe length-floor grading (speed knob)
+    runs: bool = True    # exact small-distance (RLE) candidates
 
 
 #: Per-level candidate depth (de.ml:4021–4049's configuration ladder).
@@ -81,6 +82,10 @@ LEVELS: dict[int, LevelConfig] = {
     # pass makes it exact regardless); deeper candidate search instead
     # of the 2x-slower linear extension
     9: LevelConfig(48, True, two_round=True),
+    # strategy slots (zlib parity beyond the reference): Z_RLE-style
+    # (distance<=4 matches only) and Z_HUFFMAN_ONLY (no matches at all)
+    100: LevelConfig(0, False, full_ladder=False),            # rle
+    101: LevelConfig(0, False, full_ladder=False, runs=False),  # huffman-only
 }
 
 
@@ -376,19 +381,20 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         length = jnp.where(has & (btier == 1) & (length < 3), 3, length)
         length = jnp.where(has, length, 0)
 
-    # ---- exact small-distance (RLE-ish) candidates via one batched
-    # suffix scan over all four distances (payload rows only) ----
-    small_d = (1, 2, 3, 4)
-    eqs = jnp.stack(
-        [(data_u8 == jnp.roll(data_u8, d))[hist:] for d in small_d]
-    )
-    runs = _run_length_scan_multi(eqs)
-    for di, d in enumerate(small_d):
-        src_ok = (pos_pay - d >= valid_lo) & (pos_pay < valid_hi)
-        len_d = jnp.where(src_ok, jnp.minimum(runs[di], MAX_MATCH), 0)
-        better = (len_d > length) | ((len_d == length) & (d < bdist))
-        bdist = jnp.where(better, d, bdist)
-        length = jnp.where(better, len_d, length)
+    if cfg.runs:
+        # ---- exact small-distance (RLE-ish) candidates via one
+        # batched suffix scan over all four distances (payload only) ----
+        small_d = (1, 2, 3, 4)
+        eqs = jnp.stack(
+            [(data_u8 == jnp.roll(data_u8, d))[hist:] for d in small_d]
+        )
+        runs = _run_length_scan_multi(eqs)
+        for di, d in enumerate(small_d):
+            src_ok = (pos_pay - d >= valid_lo) & (pos_pay < valid_hi)
+            len_d = jnp.where(src_ok, jnp.minimum(runs[di], MAX_MATCH), 0)
+            better = (len_d > length) | ((len_d == length) & (d < bdist))
+            bdist = jnp.where(better, d, bdist)
+            length = jnp.where(better, len_d, length)
 
     # clamp to data end and legality
     length = jnp.minimum(length, MAX_MATCH)

@@ -32,7 +32,8 @@ def _flevel(level: int) -> int:
 
 def deflate(data, level: int = 6, *, segment_size: int | None = None,
             dynamic: bool = True, window_bits: int = 15,
-            zdict: bytes | None = None) -> bytes:
+            zdict: bytes | None = None,
+            strategy: str | None = None) -> bytes:
     """One-shot zlib compress (Zl.Def.Ns parity, zl.ml:594–630);
     ``dynamic=False`` forces fixed-tree blocks (zl.ml:560);
     ``window_bits`` (8..15) emits the matching CINFO and restricts
@@ -49,7 +50,8 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
     if rem:
         flg += 31 - rem
     body = de.deflate(data, level, segment_size=segment_size, dynamic=dynamic,
-                      window_bits=window_bits, dictionary=zdict)
+                      window_bits=window_bits, dictionary=zdict,
+                      strategy=strategy)
     adler = checksum.adler32(data)
     out = bytes([cmf, flg])
     if zdict:

@@ -219,3 +219,23 @@ def test_restricted_window_bits():
         assert zl.inflate(zcomp) == data
     with pytest.raises(ValueError):
         de.deflate(data, 6, window_bits=7)
+
+
+def test_strategies():
+    """Z_RLE / Z_HUFFMAN_ONLY / Z_FIXED analogues (zlib strategy parity
+    beyond the reference's dynamic knob)."""
+    rng = np.random.default_rng(1)
+    runs = b"aaaaabbbbbbcccc" * 500 + rng.integers(0, 256, 1000, np.uint8).tobytes()
+    for strat in ("rle", "huffman_only", "fixed"):
+        comp = de.deflate(runs, 6, segment_size=SEG, strategy=strat)
+        d = zlib.decompressobj(-15)
+        assert d.decompress(comp) == runs and d.eof, strat
+    # rle emits only tiny distances: decodes with a 256-byte window
+    comp = de.deflate(runs, 6, segment_size=SEG, strategy="rle")
+    assert zlib.decompressobj(-8).decompress(comp) == runs
+    # huffman_only emits no matches at all: stream has no distance syms
+    comp = de.deflate(b"abcabcabc" * 200, 6, segment_size=SEG,
+                      strategy="huffman_only")
+    assert zlib.decompressobj(-8).decompress(comp) == b"abcabcabc" * 200
+    with pytest.raises(ValueError):
+        de.deflate(b"x", 6, strategy="nope")
