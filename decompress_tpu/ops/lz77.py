@@ -63,6 +63,7 @@ class LevelConfig:
     two_round: bool = False  # cost-aware re-parse with round-A code lengths
     full_ladder: bool = True  # 13-probe length-floor grading (speed knob)
     runs: bool = True    # exact small-distance (RLE) candidates
+    top2: bool = False   # descend the two best candidates, pick by length
 
 
 #: Per-level candidate depth (de.ml:4021–4049's configuration ladder).
@@ -76,12 +77,12 @@ LEVELS: dict[int, LevelConfig] = {
     4: LevelConfig(8, True, full_ladder=False),
     5: LevelConfig(12, True),
     6: LevelConfig(16, True),
-    7: LevelConfig(24, True, two_round=True),
-    8: LevelConfig(32, True, two_round=True),
+    7: LevelConfig(24, True, two_round=True, top2=True),
+    8: LevelConfig(32, True, two_round=True, top2=True),
     # level 9 relies on the same fingerprint descent (the verification
     # pass makes it exact regardless); deeper candidate search instead
     # of the 2x-slower linear extension
-    9: LevelConfig(48, True, two_round=True),
+    9: LevelConfig(48, True, two_round=True, top2=True),
     # strategy slots (zlib parity beyond the reference): Z_RLE-style
     # (distance<=4 matches only) and Z_HUFFMAN_ONLY (no matches at all)
     100: LevelConfig(0, False, full_ladder=False),            # rle
@@ -244,7 +245,10 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     sh_pad = jnp.concatenate([jnp.full(kmax, -1, jnp.int32), sh])
 
     def probe_step(carry, k):
-        best_score, best_cand, best_p4 = carry
+        if cfg.top2:
+            best_score, best_cand, best_p4, score2, cand2, p42 = carry
+        else:
+            best_score, best_cand, best_p4 = carry
 
         def shifted(a_pad):
             return jax.lax.dynamic_slice(a_pad, (kmax - k,), (t,))
@@ -319,6 +323,16 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         usable = ok & (plen4 >= 3)
         score = jnp.where(usable, (grade << 17) - dist, neg_inf)
         better = score > best_score  # first max wins: argmax parity
+        if cfg.top2:
+            b2 = ~better & (score > score2)
+            return (
+                jnp.where(better, score, best_score),
+                jnp.where(better, cand_p, best_cand),
+                jnp.where(better, plen4, best_p4),
+                jnp.where(better, best_score, jnp.where(b2, score, score2)),
+                jnp.where(better, best_cand, jnp.where(b2, cand_p, cand2)),
+                jnp.where(better, best_p4, jnp.where(b2, plen4, p42)),
+            ), None
         return (
             jnp.where(better, score, best_score),
             jnp.where(better, cand_p, best_cand),
@@ -327,11 +341,20 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
 
     # carry init derives from sp so it inherits the varying manual axes
     # under shard_map (cf. the parse scan)
-    (best_score, best_cand, best_p4), _ = jax.lax.scan(
-        probe_step,
-        (sp * 0 + neg_inf, sp * 0, sp * 0),
-        jnp.arange(1, kmax + 1, dtype=jnp.int32),
-    )
+    if cfg.top2:
+        (best_score, best_cand, best_p4, score2_r, cand2_r, p42_r), _ = \
+            jax.lax.scan(
+                probe_step,
+                (sp * 0 + neg_inf, sp * 0, sp * 0,
+                 sp * 0 + neg_inf, sp * 0, sp * 0),
+                jnp.arange(1, kmax + 1, dtype=jnp.int32),
+            )
+    else:
+        (best_score, best_cand, best_p4), _ = jax.lax.scan(
+            probe_step,
+            (sp * 0 + neg_inf, sp * 0, sp * 0),
+            jnp.arange(1, kmax + 1, dtype=jnp.int32),
+        )
 
     # winner back to position space: one packed scatter
     btier_r = jnp.where(best_p4 >= 4, 2, 1)  # 1 = exactly-3-byte candidate
@@ -350,6 +373,20 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     pos_pay = jnp.arange(seg_len, dtype=jnp.int32) + hist
     bdist = pos_pay - bcand
     bsafe = jnp.where(has, bcand, 0)
+    if cfg.top2:
+        packed2_r = (
+            (jnp.maximum(cand2_r, 0) << 3)
+            | (jnp.where(p42_r >= 4, 2, 1) << 1)
+            | (score2_r > neg_inf).astype(jnp.int32)
+        )
+        packed2 = (
+            jnp.zeros(t, jnp.int32).at[sp].set(packed2_r, unique_indices=True)
+        )[hist:]
+        has2 = (packed2 & 1) == 1
+        btier2 = (packed2 >> 1) & 3
+        bcand2 = packed2 >> 3
+        bdist2 = pos_pay - bcand2
+        bsafe2 = jnp.where(has2, bcand2, 0)
 
     if cfg.exact:
         # exact linear extension in 4-byte steps (level 9 / fallback)
@@ -365,21 +402,32 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         # doubling LCP descent over the fingerprint pyramid.
         # spans 4 and the final refine are exact; larger spans are
         # fingerprints (verified later).
-        length = jnp.zeros(seg_len, jnp.int32)
-        for span in (256, 128, 64, 32, 16, 8, 4):
-            idx_c = jnp.minimum(bsafe + length, t - 1)
+        def descend(bsafe_d, has_d, btier_d):
+            length = jnp.zeros(seg_len, jnp.int32)
+            for span in (256, 128, 64, 32, 16, 8, 4):
+                idx_c = jnp.minimum(bsafe_d + length, t - 1)
+                idx_i = jnp.minimum(pos_pay + length, t - 1)
+                f = fp[span]
+                eq = (f[idx_c] == f[idx_i]) & has_d & (
+                    length + span <= MAX_MATCH + 4)
+                length = length + jnp.where(eq, span, 0)
+            # final 0..3 byte refine with the exact word
+            idx_c = jnp.minimum(bsafe_d + length, t - 1)
             idx_i = jnp.minimum(pos_pay + length, t - 1)
-            f = fp[span]
-            eq = (f[idx_c] == f[idx_i]) & has & (length + span <= MAX_MATCH + 4)
-            length = length + jnp.where(eq, span, 0)
-        # final 0..3 byte refine with the exact word
-        idx_c = jnp.minimum(bsafe + length, t - 1)
-        idx_i = jnp.minimum(pos_pay + length, t - 1)
-        rem = _prefix_bytes_equal(w[idx_c] ^ w[idx_i])
-        length = length + jnp.where(has, jnp.minimum(rem, 3), 0)
-        # tier-1 candidates matched only 3 bytes
-        length = jnp.where(has & (btier == 1) & (length < 3), 3, length)
-        length = jnp.where(has, length, 0)
+            rem = _prefix_bytes_equal(w[idx_c] ^ w[idx_i])
+            length = length + jnp.where(has_d, jnp.minimum(rem, 3), 0)
+            # tier-1 candidates matched only 3 bytes
+            length = jnp.where(has_d & (btier_d == 1) & (length < 3), 3, length)
+            return jnp.where(has_d, length, 0)
+
+        length = descend(bsafe, has, btier)
+        if cfg.top2:
+            # resolve the runner-up exactly too and keep the longer
+            # (ties -> nearer): removes within-floor grade misranking
+            length2 = descend(bsafe2, has2, btier2)
+            take2 = (length2 > length) | ((length2 == length) & (bdist2 < bdist))
+            length = jnp.where(take2, length2, length)
+            bdist = jnp.where(take2, bdist2, bdist)
 
     if cfg.runs:
         # ---- exact small-distance (RLE-ish) candidates via one
