@@ -427,10 +427,12 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
             lit_cost, dist_cost = lz77_ops._cost_tables_host(
                 np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
             )
+            hot = lz77_ops._hot_dists_host(np.asarray(res["dist_counts"]))
             res2 = lz77_ops.lz77_parse_cost(
                 d_data, res["cand_length"], res["cand_dist"],
                 jnp.asarray(n_valid), jnp.asarray(lit_cost),
-                jnp.asarray(dist_cost), seg_len=seg,
+                jnp.asarray(dist_cost), jnp.asarray(hist_len),
+                jnp.asarray(hot), seg_len=seg,
                 lazy=lz77_ops.LEVELS[level].lazy,
             )
             if not bool(np.asarray(res2["exact"])[:b].all()):
@@ -442,7 +444,8 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
                 res2 = lz77_ops.lz77_parse_cost(
                     d_data, resx["cand_length"], resx["cand_dist"],
                     jnp.asarray(n_valid), jnp.asarray(lit_cost),
-                    jnp.asarray(dist_cost), seg_len=seg,
+                    jnp.asarray(dist_cost), jnp.asarray(hist_len),
+                    jnp.asarray(hot), seg_len=seg,
                     lazy=lz77_ops.LEVELS[level].lazy,
                 )
             res = res2

@@ -478,6 +478,11 @@ def _mark_path(g: jnp.ndarray, levels: int) -> jnp.ndarray:
     return entry == idx
 
 
+#: exact-distance histogram width for hot-stride mining (round B)
+HOT_DIST_BINS = 4096
+#: strided-run candidates mined per segment in round B
+HOT_DISTS = 4
+
 #: hybrid-parse block size exponent (block = 2**_PARSE_C positions).
 #: Measured ladder on chip (level 6, 1 MB batch): C=8 551 ms/MB,
 #: C=6 455, C=5 428, C=4 406 — the scan's sequential steps stay cheap
@@ -598,7 +603,9 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     _ablate = os.environ.get("DECOMPRESS_TPU_LZ77_ABLATE", "")
     cfg = LEVELS[level]
     if force_exact and not cfg.exact:
-        cfg = LevelConfig(cfg.k_candidates, cfg.lazy, True)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, exact=True)
     t = hist + seg_len
     p = _ceil_pow2(seg_len + MAX_MATCH + 1)
     levels = p.bit_length() - 1
@@ -630,6 +637,17 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
                                    p, levels, _ablate)
         out["cand_length"] = length
         out["cand_dist"] = dist
+        if cfg.two_round:
+            # exact-distance histogram of the selected matches: round B
+            # mines it for "hot" strided distances (structural periods
+            # like image row strides) that the depth-K bucket search
+            # cannot reach inside giant equal-content buckets
+            md = jnp.where(out["is_match"], out["dist"], 0)
+            out["dist_counts"] = (
+                jnp.zeros(HOT_DIST_BINS, jnp.int32)
+                .at[jnp.clip(md, 0, HOT_DIST_BINS - 1)]
+                .add(out["is_match"].astype(jnp.int32), mode="drop")
+            )
         return out
 
     return jax.vmap(one)(data, n_valid, hist_len)
@@ -695,6 +713,7 @@ def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
 
 @functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy"))
 def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
+                    hist_len=None, hot_dists=None,
                     *, seg_len: int, hist: int = HIST, lazy: bool = True):
     """Cost-aware re-parse (round B of the two-round analysis).
 
@@ -717,7 +736,7 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
     dextra = jnp.asarray(tables.DIST_EXTRA, dtype=jnp.float32)
     dmap = jnp.asarray(tables.DIST_CODE_MAP)
 
-    def one(seg, length, dist, n, lcost, dcost):
+    def one(seg, length, dist, n, lcost, dcost, hl, hot):
         pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
         length = jnp.where(pay_idx < n, length, 0)
         lit = seg[hist:].astype(jnp.int32)
@@ -725,20 +744,52 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
         pref = jnp.concatenate(
             [jnp.zeros(1, jnp.float32), jnp.cumsum(litbits)]
         )
-        lcode = lcode_map[jnp.clip(length - MIN_MATCH, 0, 255)]
-        dsym = jnp.where(
-            dist <= 256,
-            dmap[jnp.clip(dist - 1, 0, 255)],
-            dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
-        )
-        cost_m = (
-            lcost[jnp.clip(257 + lcode, 0, 285)]
-            + lextra[jnp.clip(lcode, 0, 28)]
-            + dcost[jnp.clip(dsym, 0, 29)]
-            + dextra[jnp.clip(dsym, 0, 29)]
-        )
-        span = pref[jnp.minimum(pay_idx + length, seg_len)] - pref[pay_idx]
-        gain = jnp.where(length >= MIN_MATCH, span - cost_m, jnp.float32(-1e9))
+
+        def match_cost(length_, dist_):
+            lcode_ = lcode_map[jnp.clip(length_ - MIN_MATCH, 0, 255)]
+            dsym_ = jnp.where(
+                dist_ <= 256,
+                dmap[jnp.clip(dist_ - 1, 0, 255)],
+                dmap[jnp.clip(256 + ((dist_ - 1) >> 7), 0, 511)],
+            )
+            return (
+                lcost[jnp.clip(257 + lcode_, 0, 285)]
+                + lextra[jnp.clip(lcode_, 0, 28)]
+                + dcost[jnp.clip(dsym_, 0, 29)]
+                + dextra[jnp.clip(dsym_, 0, 29)]
+            )
+
+        def match_gain(length_, dist_):
+            span_ = pref[jnp.minimum(pay_idx + length_, seg_len)] - pref[pay_idx]
+            return jnp.where(
+                length_ >= MIN_MATCH,
+                span_ - match_cost(length_, dist_), jnp.float32(-1e9),
+            )
+
+        if hot is not None:
+            # exact strided-run candidates at the mined hot distances:
+            # run lengths of data[i] == data[i-d] by one batched suffix
+            # scan; costs compete with the round-A candidate.  This
+            # reaches structural periods (e.g. image row strides) that
+            # the depth-K bucket search cannot see.
+            abs_idx = pay_idx + hist
+            srcs = jnp.stack([
+                seg[jnp.maximum(abs_idx - hot[j], 0)] for j in range(HOT_DISTS)
+            ])
+            eqs = srcs == seg[hist:][None, :]
+            runs = _run_length_scan_multi(eqs)
+            g0 = match_gain(length, dist)
+            for j in range(HOT_DISTS):
+                d_j = hot[j]
+                ok_j = (abs_idx - d_j >= hist - hl) & (pay_idx < n) & (d_j >= 1)
+                len_j = jnp.where(ok_j, jnp.minimum(runs[j], MAX_MATCH), 0)
+                len_j = jnp.minimum(len_j, jnp.maximum(n - pay_idx, 0))
+                g_j = match_gain(len_j, jnp.full(seg_len, d_j))
+                better = g_j > g0
+                g0 = jnp.where(better, g_j, g0)
+                length = jnp.where(better, len_j, length)
+                dist = jnp.where(better, d_j, dist)
+        gain = match_gain(length, dist)
         if lazy:
             nxt_gain = jnp.concatenate(
                 [gain[1:], jnp.full(1, -1e9, jnp.float32)]
@@ -750,8 +801,31 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
         return _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
                                     p, levels)
 
+    if hist_len is None:
+        hist_len = n_valid * 0
+    if hot_dists is None:
+        return jax.vmap(
+            lambda a, b, c, d, e, f, g: one(a, b, c, d, e, f, g, None)
+        )(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost, hist_len)
     return jax.vmap(one)(data, cand_length, cand_dist, n_valid, lit_cost,
-                         dist_cost)
+                         dist_cost, hist_len, hot_dists)
+
+
+def _hot_dists_host(dist_counts):
+    """Top strided distances per segment from the round-A exact-distance
+    histogram (host).  Distances <= 4 are covered by the always-on run
+    scan; low-count strides are not worth a candidate lane."""
+    b = dist_counts.shape[0]
+    hot = np.zeros((b, HOT_DISTS), np.int32)
+    for i in range(b):
+        c = dist_counts[i].copy()
+        c[:5] = 0
+        top = np.argpartition(c, -HOT_DISTS)[-HOT_DISTS:]
+        top = top[np.argsort(-c[top])]
+        for j, d in enumerate(top):
+            if c[d] >= 64:
+                hot[i, j] = d
+    return hot
 
 
 def _cost_tables_host(hist_lit, hist_dist):
@@ -794,11 +868,13 @@ def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
     lit_cost, dist_cost = _cost_tables_host(
         np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
     )
+    hot = _hot_dists_host(np.asarray(res["dist_counts"]))
     import jax.numpy as _jnp
 
     res2 = lz77_parse_cost(
         data, res["cand_length"], res["cand_dist"], n_valid,
         _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
+        hist_len, _jnp.asarray(hot),
         seg_len=seg_len, hist=hist, lazy=cfg.lazy,
     )
     if not bool(np.asarray(res2["exact"]).all()):
@@ -810,6 +886,7 @@ def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
         res2 = lz77_parse_cost(
             data, resx["cand_length"], resx["cand_dist"], n_valid,
             _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
+            hist_len, _jnp.asarray(hot),
             seg_len=seg_len, hist=hist, lazy=cfg.lazy,
         )
     return res2

@@ -239,3 +239,18 @@ def test_strategies():
     assert zlib.decompressobj(-8).decompress(comp) == b"abcabcabc" * 200
     with pytest.raises(ValueError):
         de.deflate(b"x", 6, strategy="nope")
+
+
+def test_hot_stride_candidates():
+    """Two-round levels mine structural match distances (e.g. image row
+    strides) that the depth-K bucket search can't reach inside giant
+    equal-content buckets; strided data must compress at least as well
+    as zlib-9 (pic-shaped synthetic: long zero runs + a periodic row
+    pattern at stride 211)."""
+    rng = np.random.default_rng(4)
+    row = bytes(rng.integers(0, 4, 211, dtype=np.uint8))  # stride > 4
+    data = (b"\0" * 97 + row) * 400
+    comp = de.deflate(data, 9, segment_size=SEG * 8)
+    assert _zlib_raw_inflate(comp) == data
+    z9 = len(zlib.compress(data, 9)) - 6
+    assert len(comp) <= z9 * 1.02, (len(comp), z9)
