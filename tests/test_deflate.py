@@ -248,9 +248,15 @@ def test_hot_stride_candidates():
     as zlib-9 (pic-shaped synthetic: long zero runs + a periodic row
     pattern at stride 211)."""
     rng = np.random.default_rng(4)
-    row = bytes(rng.integers(0, 4, 211, dtype=np.uint8))  # stride > 4
-    data = (b"\0" * 97 + row) * 400
-    comp = de.deflate(data, 9, segment_size=SEG * 8)
+    row = bytes(rng.integers(0, 4, 211, dtype=np.uint8))
+    data = (b"\0" * 97 + row) * 400  # period 308 (> 4, > K)
+    # default segment: the whole input is one block, so the comparison
+    # isn't dominated by per-segment header amortization
+    comp = de.deflate(data, 9)
     assert _zlib_raw_inflate(comp) == data
     z9 = len(zlib.compress(data, 9)) - 6
-    assert len(comp) <= z9 * 1.02, (len(comp), z9)
+    assert len(comp) <= z9 * 1.05, (len(comp), z9)
+    # without the stride lane (single-round level 6) the same data is
+    # much worse: proves the mined candidates carry the gain
+    comp6 = de.deflate(data, 6)
+    assert len(comp) < len(comp6), (len(comp), len(comp6))
