@@ -481,7 +481,7 @@ def _mark_path(g: jnp.ndarray, levels: int) -> jnp.ndarray:
 #: exact-distance histogram width for hot-stride mining (round B)
 HOT_DIST_BINS = 4096
 #: strided-run candidates mined per segment in round B
-HOT_DISTS = 4
+HOT_DISTS = 8
 
 #: hybrid-parse block size exponent (block = 2**_PARSE_C positions).
 #: Measured ladder on chip (level 6, 1 MB batch): C=8 551 ms/MB,
