@@ -183,10 +183,16 @@ def symbol_cost_bits(hist_lit: np.ndarray, hist_dist: np.ndarray,
 
 
 def stored_cost_bits(n: int, bitpos_in_byte: int) -> int:
-    """Stored block(s): align + 32-bit LEN/NLEN per 65535-byte chunk."""
+    """Exact stored-block cost (reference 3-way chooser, de.ml:3620-3692).
+
+    Each chunk is a 3-bit header, padding to the next byte boundary, a
+    32-bit LEN/NLEN word, then the raw bytes.  Chunks after the first
+    start byte-aligned, so their padding is exactly 5 bits.
+    """
     nchunks = max(1, (n + 65534) // 65535)
-    align = (-(bitpos_in_byte + 3 * nchunks)) % 8  # rough: each chunk header is 3 bits + align
-    return nchunks * (3 + 32) + align + 8 * n
+    bits = 3 + ((-(bitpos_in_byte + 3)) % 8) + 32
+    bits += (nchunks - 1) * (3 + 5 + 32)
+    return bits + 8 * n
 
 
 # ---------------------------------------------------------------------------
@@ -486,7 +492,11 @@ def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None,
         cost_fix = 3 + symbol_cost_bits(hl, hd, _FIXED_LIT_BITS, _FIXED_DIST_BITS)
         cost_sto = stored_cost_bits(int(n_valid[i]), 0)
 
-        if force_block is None and cost_sto < min(cost_dyn, cost_fix):
+        # Z_FIXED parity (zlib deflate.c): forbidding dynamic trees does
+        # NOT forbid stored blocks — otherwise incompressible data would
+        # expand past compress_bound()'s guarantee.
+        cost_packed = cost_fix if force_block == "fixed" else min(cost_dyn, cost_fix)
+        if cost_sto < cost_packed:
             kinds.append("stored")
             continue
         if force_block == "fixed" or (force_block is None and cost_fix <= cost_dyn):
@@ -924,18 +934,24 @@ def _fixed_tables():
     return _FIXED_LIT_DT, _FIXED_DIST_DT
 
 
-def inflate(data, *, window: np.ndarray | None = None) -> bytes:
+def inflate(data, *, window: np.ndarray | None = None,
+            window_bits: int = 15) -> bytes:
     """One-shot raw-DEFLATE decode (host reference path).
 
     ``window`` optionally seeds the 32 KiB back-reference history
     (preset-dictionary support, cf. `unsafe_set_cursor` de.ml:1826).
-    Raises :class:`MalformedError` on invalid input.
+    ``window_bits`` (8..15) restricts back-reference distances to the
+    negotiated window, like the reference's CINFO-sized `allocate
+    (cinfo+8)` window (zl.ml:247-280): a stream that references past it
+    fails with "invalid distance".  Raises :class:`MalformedError` on
+    invalid input.
     """
-    out, _ = inflate_ex(data, window=window)
+    out, _ = inflate_ex(data, window=window, window_bits=window_bits)
     return out
 
 
-def inflate_ex(data, *, window: np.ndarray | None = None):
+def inflate_ex(data, *, window: np.ndarray | None = None,
+               window_bits: int = 15):
     """Like :func:`inflate` but also returns bytes consumed.
 
     Uses the native resumable state machine (native/tpuz.cpp) when
@@ -946,13 +962,14 @@ def inflate_ex(data, *, window: np.ndarray | None = None):
         from . import native
 
         if native.available():
-            return _inflate_native(_np_u8(data), window)
+            return _inflate_native(_np_u8(data), window, window_bits)
     except ImportError:  # pragma: no cover
         pass
-    return _inflate_python(data, window=window)
+    return _inflate_python(data, window=window, window_bits=window_bits)
 
 
-def inflate_into(data, dst: np.ndarray, *, window: np.ndarray | None = None) -> tuple[int, int]:
+def inflate_into(data, dst: np.ndarray, *, window: np.ndarray | None = None,
+                 window_bits: int = 15) -> tuple[int, int]:
     """One-shot inflate into a caller-owned buffer.
 
     Signature parity with the reference `Inf.Ns.inflate : bigstring ->
@@ -961,17 +978,19 @@ def inflate_into(data, dst: np.ndarray, *, window: np.ndarray | None = None) -> 
     including when ``dst`` is too small (the Ns output-exhaustion
     error, test_ns.ml:215–253).
     """
-    out, consumed = inflate_ex(data, window=window)
+    out, consumed = inflate_ex(data, window=window, window_bits=window_bits)
     if len(out) > dst.size:
         raise MalformedError("unexpected end of output")
     dst[: len(out)] = np.frombuffer(out, np.uint8)
     return consumed, len(out)
 
 
-def _inflate_native(buf: np.ndarray, window) -> tuple[bytes, int]:
+def _inflate_native(buf: np.ndarray, window, window_bits: int = 15) -> tuple[bytes, int]:
     from . import native
 
     inf = native.InflateStream()
+    if window_bits != 15:
+        inf.set_window_bits(window_bits)
     if window is not None:
         inf.set_dictionary(bytes(window))
     pos = 0
@@ -998,7 +1017,9 @@ def _inflate_native(buf: np.ndarray, window) -> tuple[bytes, int]:
         # AWAIT with more input: loop
 
 
-def _inflate_python(data, *, window: np.ndarray | None = None):
+def _inflate_python(data, *, window: np.ndarray | None = None,
+                    window_bits: int = 15):
+    win_limit = 1 << window_bits
     r = bitstream.BitReader(_np_u8(data))
     out = bytearray()
     if window is not None:
@@ -1041,7 +1062,7 @@ def _inflate_python(data, *, window: np.ndarray | None = None):
                         raise MalformedError("invalid distance code")
                     r.consume(dnb)
                     dist = int(DIST_BASE[dsym]) + r.read(int(DIST_EXTRA[dsym]))
-                    if dist > len(out):
+                    if dist > len(out) or dist > win_limit:
                         raise MalformedError("invalid distance")
                     # copy with overlap semantics; doubling keeps this O(log)
                     src = len(out) - dist

@@ -62,6 +62,7 @@ def _load():
         lib.tpuz_inflate_error.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_total_out.restype = ctypes.c_uint64
         lib.tpuz_inflate_total_out.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_set_window_bits.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.tpuz_inflate_set_dictionary.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_uint32]
         lib.tpuz_inflate_takeback.restype = ctypes.c_int
@@ -181,6 +182,11 @@ class InflateStream:
     def set_dictionary(self, dict_bytes: bytes) -> None:
         b = bytes(dict_bytes)
         self._lib.tpuz_inflate_set_dictionary(self._h, _u8(b), len(b))
+
+    def set_window_bits(self, wbits: int) -> None:
+        """Restrict back-references to a 2^wbits window (decode side
+        of the zlib CINFO negotiation, zl.ml:247-280)."""
+        self._lib.tpuz_inflate_set_window_bits(self._h, int(wbits))
 
     @property
     def total_out(self) -> int:

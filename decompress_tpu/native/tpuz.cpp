@@ -514,18 +514,26 @@ struct TpuzInflate {
   uint32_t sym_len, copy_len, copy_dist;
   uint8_t window[32768];
   uint64_t total_out;
+  uint32_t win_limit;  // negotiated window (zl.ml:247-280: allocate (cinfo+8))
   const char* err;
 };
 
 TpuzInflate* tpuz_inflate_new() {
   TpuzInflate* s = (TpuzInflate*)calloc(1, sizeof(TpuzInflate));
+  s->win_limit = 32768;
   return s;
 }
 void tpuz_inflate_free(TpuzInflate* s) { free(s); }
 void tpuz_inflate_reset(TpuzInflate* s) {
-  uint8_t keep_fixed = 0;
+  uint32_t keep_limit = s->win_limit ? s->win_limit : 32768;
   memset(s, 0, sizeof(*s));
-  (void)keep_fixed;
+  s->win_limit = keep_limit;
+}
+
+// Restrict back-references to a 2^bits window (decode side of
+// window_bits; a stream referencing further is "invalid distance").
+void tpuz_inflate_set_window_bits(TpuzInflate* s, int wbits) {
+  s->win_limit = (wbits >= 8 && wbits <= 15) ? (1u << wbits) : 32768;
 }
 const char* tpuz_inflate_error(TpuzInflate* s) { return s->err ? s->err : ""; }
 uint64_t tpuz_inflate_total_out(TpuzInflate* s) { return s->total_out; }
@@ -783,7 +791,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
             int deb = DIST_EXTRA[ds];
             uint32_t dist = DIST_BASE[ds] + (uint32_t)(hold & ((1u << deb) - 1));
             DROPBITS(deb);
-            if (dist > TOUT) BAD("invalid distance");
+            if (dist > TOUT || dist > s->win_limit) BAD("invalid distance");
             uint64_t produced = dp - dp_entry;
             if (dist <= produced) {
               const uint8_t* srcp = dst + dp - dist;
@@ -856,7 +864,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
         NEEDBITS(eb);
         s->copy_dist = DIST_BASE[s->rep_sym] + (hold & ((1u << eb) - 1));
         DROPBITS(eb);
-        if (s->copy_dist > TOUT) BAD("invalid distance");
+        if (s->copy_dist > TOUT || s->copy_dist > s->win_limit) BAD("invalid distance");
         s->mode = M_COPY;
         break;
       }

@@ -83,6 +83,13 @@ LEVELS: dict[int, LevelConfig] = {
     # pass makes it exact regardless); deeper candidate search instead
     # of the 2x-slower linear extension
     9: LevelConfig(48, True, two_round=True, top2=True),
+    # levels 10–12: the reference Ns level table accepts them
+    # (de.ml:3929–3943, near_optimal slots; its lazy path is a stub) —
+    # here they map onto deeper candidate search, which rank-space
+    # probing makes nearly free
+    10: LevelConfig(64, True, two_round=True, top2=True),
+    11: LevelConfig(96, True, two_round=True, top2=True),
+    12: LevelConfig(128, True, two_round=True, top2=True),
     # strategy slots (zlib parity beyond the reference): Z_RLE-style
     # (distance<=4 matches only) and Z_HUFFMAN_ONLY (no matches at all)
     100: LevelConfig(0, False, full_ladder=False),            # rle

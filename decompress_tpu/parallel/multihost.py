@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from .. import de
+from ..gz import _FEXTRA
 from . import sharded
 
 
@@ -90,9 +91,13 @@ def sharded_gzip_compress_multihost(
     total = max(1, (arr.size + member_size - 1) // member_size)
     lo, hi = _local_member_range(total)
     local = arr[lo * member_size : hi * member_size]
-    local_arch = sharded.sharded_gzip_compress(
-        local, level, member_size=member_size, mesh=mesh, index=False
-    ) if local.size else b""
+    if local.size:
+        local_arch, local_sizes, local_splits = sharded.sharded_gzip_compress(
+            local, level, member_size=member_size, mesh=mesh,
+            index=False, return_meta=True,
+        )
+    else:
+        local_arch, local_sizes, local_splits = b"", [], []
 
     # order-preserving process gather: fixed-width buffers keyed by
     # process index; sizes first, then padded payloads
@@ -106,4 +111,29 @@ def sharded_gzip_compress_multihost(
         gathered[p, : int(all_sizes[p, 0])].tobytes()
         for p in range(jax.process_count())
     ]
-    return b"".join(parts)  # by process index == by member range
+    archive = b"".join(parts)  # by process index == by member range
+
+    # Gather per-member metadata and rebuild the SAME FEXTRA member
+    # index the single-host path writes, so archive bytes are identical
+    # for any host count (and parallel decode keeps working).
+    per = -(-total // jax.process_count())
+    width = 1 + 3 * (sharded.N_SPLITS - 1)
+    meta = np.zeros((per, width), np.int64)
+    for j, s in enumerate(local_sizes):
+        meta[j, 0] = s
+        meta[j, 1:] = [v for tri in local_splits[j] for v in tri]
+    all_meta = multihost_utils.process_allgather(meta)  # [P, per, width]
+    sizes, split_rows = [], []
+    for p in range(jax.process_count()):
+        plo = min(p * per, total)
+        phi = min(plo + per, total)
+        for j in range(phi - plo):
+            sizes.append(int(all_meta[p, j, 0]))
+            row = all_meta[p, j, 1:].reshape(-1, 3)
+            split_rows.append([tuple(int(v) for v in t) for t in row])
+    xt = sharded._build_index(total, sizes, split_rows)
+    if xt is not None:
+        head0 = bytearray(archive[:10])
+        head0[3] |= _FEXTRA
+        archive = bytes(head0) + xt + archive[10:]
+    return archive

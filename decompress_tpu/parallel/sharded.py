@@ -175,6 +175,7 @@ def sharded_gzip_compress(
     mtime: int = 0,
     os=gz.OS.default(),
     index: bool = True,
+    return_meta: bool = False,
 ) -> bytes:
     """Multi-member gzip archive, members compressed data-parallel.
 
@@ -186,7 +187,9 @@ def sharded_gzip_compress(
     """
     arr = de._np_u8(data)
     if arr.size == 0:
-        return gz.compress(b"", level)
+        empty = gz.compress(b"", level)
+        return (empty, [len(empty)], [[(0, 0, 0)] * (N_SPLITS - 1)]) \
+            if return_meta else empty
     parts, n_valid, crcs = _compress_members(arr, level, member_size, mesh)
     m = len(parts)
 
@@ -201,43 +204,63 @@ def sharded_gzip_compress(
             w.write_packed(part[1], part[2])
         bodies.append(w.getvalue())
 
-    # sizes subfield + split subfield must fit one FEXTRA (<= 65535)
-    split_len = 1 + 12 * (N_SPLITS - 1) * m
-    use_splits = index and 4 + (4 + 4 * m) + (4 + split_len) <= 65535
-    use_index = index and m <= (65531 - 8) // 4
-    out = []
-    if use_index:
-        sizes = [len(head) + len(b) + 8 for b in bodies]
-        xdata_len = 4 + 4 * m
-        extra_len = 2 + 4 + xdata_len
-        sfield = b""
-        if use_splits:
-            sdata = bytes([N_SPLITS]) + b"".join(
-                bo.to_bytes(4, "little") + ci.to_bytes(4, "little")
-                + oo.to_bytes(4, "little")
-                for part in parts
-                for (bo, ci, oo) in (
-                    part[3] if part[0] == "packed" else [(0, 0, 0)] * (N_SPLITS - 1)
-                )
-            )
-            sfield = SPLIT_ID + len(sdata).to_bytes(2, "little") + sdata
-            extra_len += len(sfield)
-        sizes[0] += extra_len  # first member grows by the FEXTRA
-        xfield = INDEX_ID + xdata_len.to_bytes(2, "little") \
-            + m.to_bytes(4, "little") \
-            + b"".join(s.to_bytes(4, "little") for s in sizes) + sfield
+    sizes = [len(head) + len(b) + 8 for b in bodies]
+    split_rows = [
+        part[3] if part[0] == "packed" else [(0, 0, 0)] * (N_SPLITS - 1)
+        for part in parts
+    ]
+    xt = _build_index(m, sizes, split_rows) if index else None
+    if xt is not None:
         head0 = bytearray(head)
         head0[3] |= gz._FEXTRA
-        head0 += len(xfield).to_bytes(2, "little") + xfield
-        heads = [bytes(head0)] + [head] * (m - 1)
+        heads = [bytes(head0) + xt] + [head] * (m - 1)
     else:
         heads = [head] * m
+    out = []
     for i in range(m):  # order-preserving: by member index
         out.append(heads[i])
         out.append(bodies[i])
         out.append(int(crcs[i]).to_bytes(4, "little"))
         out.append(int(int(n_valid[i]) & 0xFFFFFFFF).to_bytes(4, "little"))
-    return b"".join(out)
+    archive = b"".join(out)
+    if return_meta:
+        return archive, sizes, split_rows
+    return archive
+
+
+def _build_index(m: int, sizes: list, split_rows: list) -> bytes | None:
+    """FEXTRA bytes (XLEN + subfields) for the member index, or None.
+
+    ``sizes`` are per-member byte sizes *excluding* the index field
+    itself; the first member's recorded size is grown by the field
+    length.  ``split_rows`` holds ``N_SPLITS - 1`` (bit, cmd, out)
+    triples per member (all-zero for stored members).  Shared by the
+    single-host and multi-host assembly paths so the archive bytes are
+    identical for any host count.
+    """
+    # sizes subfield + split subfield must fit one FEXTRA (<= 65535)
+    split_len = 1 + 12 * (N_SPLITS - 1) * m
+    use_splits = 4 + (4 + 4 * m) + (4 + split_len) <= 65535
+    if m > (65531 - 8) // 4:
+        return None
+    xdata_len = 4 + 4 * m
+    extra_len = 2 + 4 + xdata_len
+    sfield = b""
+    if use_splits:
+        sdata = bytes([N_SPLITS]) + b"".join(
+            bo.to_bytes(4, "little") + ci.to_bytes(4, "little")
+            + oo.to_bytes(4, "little")
+            for row in split_rows
+            for (bo, ci, oo) in row
+        )
+        sfield = SPLIT_ID + len(sdata).to_bytes(2, "little") + sdata
+        extra_len += len(sfield)
+    sizes = list(sizes)
+    sizes[0] += extra_len  # first member grows by the FEXTRA
+    xfield = INDEX_ID + xdata_len.to_bytes(2, "little") \
+        + m.to_bytes(4, "little") \
+        + b"".join(s.to_bytes(4, "little") for s in sizes) + sfield
+    return len(xfield).to_bytes(2, "little") + xfield
 
 
 def sharded_gzip_decompress(archive) -> bytes:
@@ -415,13 +438,14 @@ def sharded_gzip_decompress(archive) -> bytes:
                 results[i] = payload[row, :isize].tobytes()
 
     if crcs_ok:
-        from .. import native
-
         for i, (p, _, crc, isize) in enumerate(metas):
             if p[0] != "stored":
                 continue
             data = p[1]
-            if len(data) != isize or native.crc32(data) != crc:
+            # gz.checksum falls back to the device CRC when libtpuz is
+            # unavailable (the no-g++ configuration the device-decode
+            # branch explicitly supports)
+            if len(data) != isize or gz.checksum.crc32(data) != crc:
                 crcs_ok = False
                 break
             results[i] = data

@@ -111,10 +111,15 @@ class Inflate:
         out.write(inf.flush())
     """
 
-    def __init__(self, o_size: int = de.io_buffer_size, window: bytes | None = None):
+    def __init__(self, o_size: int = de.io_buffer_size, window: bytes | None = None,
+                 window_bits: int = 15):
         from . import native
 
         self._stream = native.InflateStream()
+        if window_bits != 15:
+            # decode-side window restriction (zl.ml:247-280 negotiates
+            # the window from CINFO; too-far references are malformed)
+            self._stream.set_window_bits(window_bits)
         if window:
             self._stream.set_dictionary(bytes(window))
         self.o_size = o_size

@@ -93,7 +93,8 @@ def inflate_ex(data, *, zdict: bytes | None = None) -> tuple[bytes, int]:
         zd = de._np_u8(zdict)
         window = zd[-min(zd.size, 32768):]
         hdr = 6
-    out, consumed = de.inflate_ex(buf[hdr:], window=window)
+    out, consumed = de.inflate_ex(buf[hdr:], window=window,
+                                  window_bits=(cmf >> 4) + 8)
     tail = buf[hdr + consumed :]
     if tail.size < 4:
         raise MalformedError("unexpected end of input")
@@ -169,7 +170,8 @@ class Inf:
                 return "invalid dictionary checksum"
             window = self.zdict[-32768:]
             hdr = 6
-        self._inf = self._streaming.Inflate(self.o_size, window=window)
+        self._inf = self._streaming.Inflate(self.o_size, window=window,
+                                            window_bits=(cmf >> 4) + 8)
         rest = self._head[hdr:]
         self._head = b""
         if rest:

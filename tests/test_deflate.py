@@ -260,3 +260,70 @@ def test_hot_stride_candidates():
     # much worse: proves the mined candidates carry the gain
     comp6 = de.deflate(data, 6)
     assert len(comp) < len(comp6), (len(comp), len(comp6))
+
+
+def test_decode_window_restriction():
+    """Decode-side window negotiation (zl.ml:247–280: the inflate
+    window is allocated from CINFO): a stream whose distances exceed
+    the negotiated window fails with "invalid distance"."""
+    from decompress_tpu.de import MalformedError
+
+    data = b"A" * 300 + b"unique-seed-text" + b"B" * 1000 + b"unique-seed-text"
+    comp = de.deflate(data, 6, segment_size=SEG)  # dist > 256 certain
+    assert de.inflate(comp) == data
+    for path in ("native", "python"):
+        kw = {"window_bits": 8}
+        if path == "python":
+            got = None
+            try:
+                de._inflate_python(comp, **kw)
+            except MalformedError as e:
+                got = str(e)
+        else:
+            got = None
+            try:
+                de.inflate(comp, **kw)
+            except MalformedError as e:
+                got = str(e)
+        assert got == "invalid distance", (path, got)
+    # a small-window stream decodes under its own restriction
+    comp8 = de.deflate(data, 6, segment_size=SEG, window_bits=8)
+    assert de.inflate(comp8, window_bits=8) == data
+    assert de._inflate_python(comp8, window_bits=8)[0] == data
+
+    # zlib framing: CINFO too small for the stream's distances
+    body = de.deflate(data, 6, segment_size=SEG)
+    cmf = 0x08  # CINFO=0 -> 256-byte window
+    flg = (31 - (cmf * 256) % 31) % 31
+    stream = bytes([cmf, flg]) + body + zlib.adler32(data).to_bytes(4, "big")
+    from decompress_tpu import zl as _zl
+    with pytest.raises(MalformedError, match="invalid distance"):
+        _zl.inflate(stream)
+    # and a well-formed small-window zlib stream still decodes
+    z8 = _zl.deflate(data, 6, segment_size=SEG, window_bits=8)
+    assert _zl.inflate(z8) == data
+
+
+def test_fixed_strategy_keeps_stored_blocks():
+    """Z_FIXED parity: forbidding dynamic trees does not forbid stored
+    blocks, so incompressible data stays within compress_bound()."""
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 40000, np.uint8).tobytes()
+    comp = de.deflate(data, 6, segment_size=SEG, dynamic=False)
+    assert _zlib_raw_inflate(comp) == data
+    assert len(comp) <= de.compress_bound(len(data), SEG)
+    # compressible data under dynamic=False still emits fixed blocks
+    comp2 = de.deflate(b"hello world " * 500, 6, segment_size=SEG, dynamic=False)
+    assert _zlib_raw_inflate(comp2) == b"hello world " * 500
+    assert len(comp2) < len(b"hello world " * 500) // 2
+
+
+def test_levels_10_12():
+    """Levels 10–12 accepted (reference Ns level table de.ml:3929–3943);
+    deeper search never loses to level 9 on repetitive input."""
+    data = (b"abcdefgh" * 300 + bytes(range(256)) + b"abcdefgh" * 100)[:4000]
+    base = len(de.deflate(data, 9, segment_size=1024))
+    for lvl in (10, 12):
+        comp = de.deflate(data, lvl, segment_size=1024)
+        assert _zlib_raw_inflate(comp) == data
+        assert len(comp) <= base + 16, (lvl, len(comp), base)

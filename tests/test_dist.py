@@ -92,3 +92,26 @@ def test_graft_entry_api():
     words, totals = jax.jit(fn)(*args)
     assert (np.asarray(totals) > 0).all()
     ge.dryrun_multichip(8)
+
+
+def test_multihost_index_assembly_matches_single_host():
+    """The multihost assembly path rebuilds the FEXTRA index from
+    gathered metadata; its building blocks must reproduce the
+    single-host indexed archive byte-for-byte (ADVICE round 1)."""
+    import numpy as np
+
+    from decompress_tpu import gz
+    from decompress_tpu.parallel import sharded
+
+    data = (b"multihost index determinism " * 3000)[:60000]
+    indexed = sharded.sharded_gzip_compress(data, 6, member_size=16384)
+    plain, sizes, split_rows = sharded.sharded_gzip_compress(
+        data, 6, member_size=16384, index=False, return_meta=True)
+    m = len(sizes)
+    xt = sharded._build_index(m, sizes, split_rows)
+    assert xt is not None
+    head0 = bytearray(plain[:10])
+    head0[3] |= gz._FEXTRA
+    rebuilt = bytes(head0) + xt + plain[10:]
+    assert rebuilt == indexed
+    assert sharded.sharded_gzip_decompress(rebuilt) == data
