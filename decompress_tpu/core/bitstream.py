@@ -32,14 +32,22 @@ def pack_bits(values: np.ndarray, nbits: np.ndarray, *, bit_offset: int = 0) -> 
         raise ValueError("pack_bits supports 0..31 bits per element")
     offsets = bit_offset + np.concatenate([[0], np.cumsum(nbits)[:-1]])
     total = int(bit_offset + nbits.sum())
-    nwords = (total + 31) // 32 + 1
-    words = np.zeros(nwords, dtype=np.uint64)
+    nz = nbits > 0
+    if not nz.all():  # zero-width slots are common (literal commands)
+        values, nbits, offsets = values[nz], nbits[nz], offsets[nz]
+    nwords = (total >> 5) + 2
     masked = values & ((np.uint64(1) << nbits.astype(np.uint64)) - np.uint64(1))
     widx = offsets >> 5
     shift = (offsets & 31).astype(np.uint64)
     shifted = masked << shift  # <= 31+31 = 62 bits, fits uint64
-    np.add.at(words, widx, shifted & np.uint64(0xFFFFFFFF))
-    np.add.at(words, widx + 1, shifted >> np.uint64(32))
+    # scatter-OR == scatter-ADD (bit-disjoint); bincount with float64
+    # weights is exact (each word receives <= 32 bits -> sums < 2^32)
+    # and much faster than np.add.at
+    lo = np.bincount(widx, weights=(shifted & np.uint64(0xFFFFFFFF)).astype(np.float64),
+                     minlength=nwords)
+    hi = np.bincount(widx + 1, weights=(shifted >> np.uint64(32)).astype(np.float64),
+                     minlength=nwords)
+    words = (lo + hi).astype(np.uint64)
     out = words.astype(np.uint32).view(np.uint8)  # little-endian words == LSB-first stream
     return out[: (total + 7) // 8].copy(), total
 

@@ -805,27 +805,62 @@ def _analyze_one(chunk: bytes, hist: bytes, level: int, seg: int):
 
 
 def match_commands(chunk: bytes, hist: bytes = b"", level: int = 6,
-                   seg: int | None = None) -> list[int]:
+                   seg: int | None = None) -> np.ndarray:
     """Match-find one chunk (with history) into packed commands
     (Queue int packing; no EOB appended)."""
+    return match_commands_batch([chunk], [hist], level, seg)[0]
+
+
+def match_commands_batch(chunks: list[bytes], hists: list[bytes],
+                         level: int = 6, seg: int | None = None) -> list[np.ndarray]:
+    """Match-find up to MAX_DEVICE_BATCH chunks in ONE device call
+    (the batch rows are free — the kernel is always compiled at the
+    padded batch).  Amortizes the per-dispatch round-trip for the
+    streaming Lz77 path."""
+    import jax.numpy as jnp
+
+    from .ops import lz77 as lz77_ops
+
+    b = len(chunks)
+    if b > MAX_DEVICE_BATCH:
+        raise ValueError("too many chunks for one device call")
     if seg is None:
         seg = 16384
-        while seg < len(chunk):
+        while seg < max(len(c) for c in chunks):
             seg *= 2
-    res, _, _, _ = _analyze_one(chunk, hist, level, seg)
-    on_path = np.asarray(res["on_path"])[0]
-    is_match = np.asarray(res["is_match"])[0]
-    length = np.asarray(res["length"])[0]
-    dist = np.asarray(res["dist"])[0]
-    cmds: list[int] = []
-    n = len(chunk)
-    pos = np.flatnonzero(on_path[:n])
-    for p in pos:
-        if is_match[p]:
-            cmds.append(cmd_copy(int(dist[p]), int(length[p])))
-        else:
-            cmds.append(cmd_literal(chunk[p]))
-    return cmds
+    data = np.zeros((MAX_DEVICE_BATCH, lz77_ops.HIST + seg), dtype=np.uint8)
+    n_valid = np.zeros(MAX_DEVICE_BATCH, np.int32)
+    hist_len = np.zeros(MAX_DEVICE_BATCH, np.int32)
+    for i, (c, h) in enumerate(zip(chunks, hists)):
+        if len(c) > seg:
+            raise ValueError("chunk larger than segment")
+        hl = min(len(h), lz77_ops.HIST)
+        if hl:
+            data[i, lz77_ops.HIST - hl : lz77_ops.HIST] = np.frombuffer(
+                h[-hl:], np.uint8)
+        data[i, lz77_ops.HIST : lz77_ops.HIST + len(c)] = np.frombuffer(c, np.uint8)
+        n_valid[i] = len(c)
+        hist_len[i] = hl
+    res = lz77_ops.analyze2(
+        jnp.asarray(data), jnp.asarray(n_valid), jnp.asarray(hist_len),
+        level=level, seg_len=seg,
+    )
+    on_path = np.asarray(res["on_path"])
+    is_match = np.asarray(res["is_match"])
+    length = np.asarray(res["length"])
+    dist = np.asarray(res["dist"])
+    out = []
+    for i, c in enumerate(chunks):
+        n = len(c)
+        pos = np.flatnonzero(on_path[i, :n])
+        im = is_match[i, pos].astype(bool)
+        ln64 = length[i, pos].astype(np.int64)
+        d64 = dist[i, pos].astype(np.int64)
+        lits = np.frombuffer(c, np.uint8).astype(np.int64)[pos]
+        cmds = np.where(
+            im, ((ln64 - MIN_MATCH) << 16) | (d64 - 1) | _CMD_COPY_FLAG, lits)
+        out.append(cmds)
+    return out
 
 
 def deflate_segment_into(w: bitstream.BitWriter, chunk: bytes, hist: bytes,
@@ -924,6 +959,18 @@ def _parse_dynamic_lengths(r: bitstream.BitReader):
 
 _FIXED_LIT_DT = None
 _FIXED_DIST_DT = None
+_FIXED_CODES = None
+
+
+def _fixed_codes_cached():
+    """Canonical (bit-reversed, emit-ready) fixed-tree codes."""
+    global _FIXED_CODES
+    if _FIXED_CODES is None:
+        _FIXED_CODES = (
+            huffman.canonical_codes(tables.FIXED_LIT_LENGTHS),
+            huffman.canonical_codes(tables.FIXED_DIST_LENGTHS[:30]),
+        )
+    return _FIXED_CODES
 
 
 def _fixed_tables():

@@ -462,11 +462,19 @@ class Def:
         fhcrc: bool = False,
         text: bool = False,
         segment_size: int | None = None,
+        engine: str = "segment",
     ):
         from . import streaming
 
         self._native = checksum
-        self._def = streaming.Deflate(level, segment_size)
+        if engine == "queue":
+            # Lz77 -> Queue -> Def protocol engine (gz.ml:904 drives
+            # the same consumer loop as zl)
+            self._def = streaming.QueueDeflate(level)
+        elif engine == "segment":
+            self._def = streaming.Deflate(level, segment_size)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
         self._crc = 0
         self._isize = 0
         flg = (

@@ -237,12 +237,22 @@ class Def:
     """Streaming zlib encoder: CMF/FLG header, segment pipeline,
     big-endian Adler-32 trailer (zl.ml:494–522)."""
 
-    def __init__(self, level: int = 6, segment_size: int | None = None):
+    def __init__(self, level: int = 6, segment_size: int | None = None,
+                 engine: str = "segment"):
+        """``engine="segment"`` batches whole segments through the
+        device pipeline; ``engine="queue"`` routes through the
+        Lz77 -> Queue -> Def protocol encoder (the reference's own
+        consumer loop, zl.ml:523-555) with `Block re-negotiation."""
         from . import streaming
         from .gz import checksum as _cks
 
         self._native = _cks
-        self._def = streaming.Deflate(level, segment_size)
+        if engine == "queue":
+            self._def = streaming.QueueDeflate(level)
+        elif engine == "segment":
+            self._def = streaming.Deflate(level, segment_size)
+        else:
+            raise ValueError(f"unknown engine {engine!r}")
         self._adler = 1
         cmf = 0x78
         flg = _flevel(level) << 6

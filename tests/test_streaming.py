@@ -193,7 +193,7 @@ def test_lz77_streaming_matcher():
     lz.src(data)
     lz.src(b"")
     assert lz.compress() == "end"
-    cmds = [c for c in q._buf]
+    cmds = [int(c) for c in q.as_array()]
     assert de.reconstruct(cmds) == data
     assert lz.checksum_value == zlib.adler32(data)
     assert lz.literals.sum() > 0 and lz.distances.sum() > 0
@@ -259,7 +259,7 @@ def test_lz_standalone_module():
     q = lz.Queue(1 << 14)
     data = b"standalone lz api " * 100
     lz.compress_into(q, data)
-    cmds = list(q._buf)
+    cmds = [int(c) for c in q.as_array()]
     assert cmds[-1] == de.CMD_EOB
     assert de.reconstruct(cmds[:-1]) == data
     stream = de.encode_commands(cmds[:-1])
@@ -344,3 +344,193 @@ def test_zl_streaming_preset_dictionary():
     while (t := dec.decode()) not in ("end", "malformed"):
         dec.flush()
     assert t == "malformed" and "dictionary" in dec.error
+
+
+# ---------------------------------------------------------------------------
+# De.Def streaming encoder protocol (de.mli:300–445; de.ml:2354–3036).
+# ---------------------------------------------------------------------------
+
+
+def _drive(enc, actions, dst_size=1):
+    """Drive the Def protocol byte-at-a-time; `actions` yields the
+    responses to "block" (and the initial action)."""
+    import numpy as np
+
+    out = bytearray()
+    buf = np.zeros(dst_size, np.uint8)
+    enc.dst(buf)
+    tok = enc.encode(next(actions))
+    while True:
+        if tok == "partial":
+            out += bytes(buf[: enc._dst_pos])
+            enc.dst(buf)
+            tok = enc.encode("await")
+        elif tok == "block":
+            tok = enc.encode(next(actions))
+        elif tok == "ok":
+            out += bytes(buf[: enc._dst_pos])
+            return bytes(out)
+        else:
+            raise AssertionError(tok)
+
+
+def test_def_byte_at_a_time_resume():
+    """1-byte dst: every encode returns partial and the stream still
+    assembles byte-exact (test.ml:1450–1496 analogue)."""
+    import numpy as np
+
+    data = b"resumable encoder " * 40
+    q = streaming.Queue(4096)
+    q.blit(data)
+    q.end_with_eob()
+    lits = np.zeros(287, np.int64)
+    for b in data:
+        lits[b] += 1
+    lits[256] = 1
+    dyn = streaming.dynamic_of_frequencies(lits, np.zeros(30, np.int64))
+    comp = _drive(streaming.Def(q), iter([streaming.Block("dynamic", True, dyn)]))
+
+    # same commands through a roomy dst must give identical bytes
+    q2 = streaming.Queue(4096)
+    q2.blit(data)
+    q2.end_with_eob()
+    comp2 = _drive(streaming.Def(q2),
+                   iter([streaming.Block("dynamic", True, dyn)]), dst_size=1 << 16)
+    assert comp == comp2
+    d = zlib.decompressobj(-15)
+    assert d.decompress(comp) == data and d.eof
+
+
+def test_def_block_handshake():
+    """A literal outside the current dynamic tree forces `Block: the
+    encoder emits the EOB, returns "block", and the caller switches
+    kinds mid-stream (de.ml:2851–2871)."""
+    import numpy as np
+
+    data = b"aaaaabbbbbZccc"
+    q = streaming.Queue(1024)
+    lits = np.zeros(287, np.int64)
+    for b in b"aaaaabbbbbccc":
+        lits[b] += 1
+    lits[256] = 1
+    dyn = streaming.dynamic_of_frequencies(lits, np.zeros(30, np.int64))
+    assert dyn.lit_lengths[ord("Z")] == 0  # Z not encodable
+    q.blit(data)
+    q.end_with_eob()
+    enc = streaming.Def(q)
+    saw = []
+
+    def actions():
+        saw.append("first")
+        yield streaming.Block("dynamic", False, dyn)
+        saw.append("switch")
+        yield streaming.Block("fixed", True)
+
+    comp = _drive(enc, actions(), dst_size=3)
+    assert saw == ["first", "switch"]
+    d = zlib.decompressobj(-15)
+    assert d.decompress(comp) == data and d.eof
+
+
+def test_def_flat_and_forced_switch():
+    """Flat blocks pin LEN from the queue at header time
+    (de.ml:2674–2681); a caller-forced mid-stream switch writes the
+    current block's EOB then the new header (de.ml:2899–2924)."""
+    import numpy as np
+
+    q = streaming.Queue(1024)
+    q.blit(b"raw stored payload")
+    q.end_with_eob()
+    comp = _drive(streaming.Def(q), iter([streaming.Block("flat", True)]),
+                  dst_size=2)
+    d = zlib.decompressobj(-15)
+    assert d.decompress(comp) == b"raw stored payload" and d.eof
+
+    # forced switch: fixed -> fixed(last) midway through the queue
+    q = streaming.Queue(1024)
+    q.blit(b"first half ")
+    enc = streaming.Def(q)
+    buf = np.zeros(1 << 14, np.uint8)
+    enc.dst(buf)
+    assert enc.encode(streaming.Block("fixed", False)) == "ok"
+    q.blit(b"second half")
+    q.end_with_eob()
+    assert enc.encode(streaming.Block("fixed", True)) == "ok"
+    comp = bytes(buf[: enc._dst_pos])
+    d = zlib.decompressobj(-15)
+    assert d.decompress(comp) == b"first half second half" and d.eof
+    assert isinstance(enc.bits_rem(), int)
+    # a new block after last must be refused (de.ml:2975–2978)
+    with pytest.raises(ValueError):
+        enc.encode(streaming.Block("fixed", False))
+
+
+def test_def_bits_rem_alignment():
+    """bits_rem reports the final byte's padding (de.ml:3012–3015):
+    total bit length modulo 8 must agree."""
+    import numpy as np
+
+    q = streaming.Queue(1024)
+    q.blit(b"alignment probe")
+    q.end_with_eob()
+    enc = streaming.Def(q)
+    buf = np.zeros(1 << 14, np.uint8)
+    enc.dst(buf)
+    with pytest.raises(ValueError):
+        enc.bits_rem()  # only valid after the last EOB
+    assert enc.encode(streaming.Block("fixed", True)) == "ok"
+    comp = bytes(buf[: enc._dst_pos])
+    rem = enc.bits_rem()
+    assert 0 <= rem < 8
+    # strip the zero padding: the stream's real bit length ends rem
+    # bits before the byte boundary, so the top rem bits are zero
+    if rem:
+        assert comp[-1] >> (8 - rem) == 0
+
+
+def test_block_of_frequencies_chooser():
+    """Small/uniform inputs fall back to fixed; skewed inputs go
+    dynamic (de.ml:2415–2449)."""
+    import numpy as np
+
+    lits = np.zeros(287, np.int64)
+    lits[ord("a")] = 2
+    lits[256] = 1
+    assert streaming.block_of_frequencies(False, lits, np.zeros(30, np.int64)).kind == "fixed"
+    lits = np.zeros(287, np.int64)
+    lits[ord("a")] = 10000
+    lits[ord("b")] = 5000
+    lits[256] = 1
+    assert streaming.block_of_frequencies(False, lits, np.zeros(30, np.int64)).kind == "dynamic"
+
+
+def test_queue_ring_ops():
+    q = streaming.Queue(8)
+    q.blit(b"abc")
+    assert len(q) == 3 and q.peek_exn() == ord("a")
+    assert q.ends_with_eob() is False
+    q.end_with_eob()
+    assert q.ends_with_eob()
+    q.rem_last_exn()
+    assert not q.ends_with_eob()
+    # wraparound path
+    q.junk_exn(2)
+    q.blit(b"defgh")
+    assert [int(c) for c in q.as_array()] == [ord(x) for x in "cdefgh"]
+
+
+def test_queue_engine_zl_gz():
+    """zl.Def/gz.Def engine="queue" route through Lz77 -> Queue -> Def
+    (the reference's consumer loop zl.ml:523–555) and stay
+    oracle-decodable."""
+    data = (b"queue engine " * 700) + bytes(range(256)) * 4
+    enc = zl.Def(6, engine="queue")
+    out = b""
+    for i in range(0, len(data), 3001):
+        out += enc.push(data[i : i + 3001])
+    out += enc.finish()
+    assert zlib.decompress(out) == data
+
+    genc = gz.Def(6, engine="queue", filename="q")
+    gout = genc.push(data) + genc.finish()
+    assert gzip.decompress(gout) == data
