@@ -245,10 +245,11 @@ def compress_bound(n: int, segment_size: int | None = None) -> int:
 STRATEGY_LEVELS = {"rle": 100, "huffman_only": 101}
 
 
-def deflate(data, level: int = 6, *, segment_size: int | None = None,
-            dynamic: bool = True, window_bits: int = 15,
+def deflate(data, level: int | None = None, *, segment_size: int | None = None,
+            dynamic: bool | None = None, window_bits: int | None = None,
             dictionary: bytes | None = None,
-            strategy: str | None = None) -> bytes:
+            strategy: str | None = None,
+            config=None) -> bytes:
     """One-shot DEFLATE compress (TPU pipeline; level 0 = stored).
 
     ``dynamic=False`` forces fixed-Huffman blocks (the reference
@@ -259,6 +260,17 @@ def deflate(data, level: int = 6, *, segment_size: int | None = None,
     semantics — the reference only records the FDICT flag,
     zl.ml:254/271; decoding needs the same dictionary via
     ``inflate(window=...)``)."""
+    # explicit arguments win over the config object, which wins over
+    # the built-in defaults (utils/config.CodecConfig, SURVEY §5.6)
+    if config is not None:
+        config.validate()
+        level = config.level if level is None else level
+        segment_size = segment_size or config.segment_size
+        dynamic = config.dynamic_blocks if dynamic is None else dynamic
+        window_bits = config.window_bits if window_bits is None else window_bits
+    level = 6 if level is None else level
+    dynamic = True if dynamic is None else dynamic
+    window_bits = 15 if window_bits is None else window_bits
     if not 8 <= window_bits <= 15:
         raise ValueError("window_bits must be in 8..15")
     if strategy is not None:
@@ -460,16 +472,36 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
 
 
 def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None,
-                force_block=None):
+                force_block=None, shared_tree=False):
     """Host planning for a batch of blocks: choose stored/fixed/dynamic
     per block (exact 3-way cost, de.ml:3620–3692 semantics), build the
     Huffman code tables and serialized headers for the device packer.
+
+    With ``shared_tree`` (the SURVEY §2 all-reduced-frequencies mode)
+    the dynamic trees are built ONCE from the row-summed frequencies and
+    every dynamic block reuses them — one tree build for the whole
+    batch (the host-planning bottleneck at small member sizes), and the
+    multi-chip pattern is a ~300-int frequency all-reduce instead of
+    per-member tree exchange.  Per-block stored/fixed fallback still
+    applies.
 
     Returns ((hdr_vals, hdr_bits), (lit_codes, lit_bits, dist_codes,
     dist_bits, eob_vals, eob_bits), kinds).
     """
     b = hist_lit.shape[0]
     b_pad = pad_to or b
+    shared = None
+    if shared_tree:
+        if isinstance(shared_tree, tuple):
+            shared = shared_tree  # precomputed (lit_len, dist_len, header)
+        else:
+            hl_sum = hist_lit.astype(np.int64).sum(axis=0)
+            hl_sum[EOB] += b  # one EOB per block
+            hd_sum = hist_dist.astype(np.int64).sum(axis=0)
+            s_lit_len = huffman.code_lengths_from_frequencies(hl_sum)
+            s_dist_len = huffman.code_lengths_from_frequencies(hd_sum)
+            shared = (s_lit_len, s_dist_len,
+                      build_dynamic_header(s_lit_len, s_dist_len))
     hdr_vals = np.zeros((b_pad, _HDR_PAD), dtype=np.uint32)
     hdr_bits = np.zeros((b_pad, _HDR_PAD), dtype=np.int32)
     lit_codes = np.zeros((b_pad, NUM_LIT_SYMS), dtype=np.uint32)
@@ -485,9 +517,12 @@ def plan_blocks(hist_lit, hist_dist, n_valid, final_flags, *, pad_to=None,
         hl[EOB] += 1
         hd = hist_dist[i].astype(np.int64)
 
-        dyn_lit_len = huffman.code_lengths_from_frequencies(hl)
-        dyn_dist_len = huffman.code_lengths_from_frequencies(hd)
-        header = build_dynamic_header(dyn_lit_len, dyn_dist_len)
+        if shared is not None:
+            dyn_lit_len, dyn_dist_len, header = shared
+        else:
+            dyn_lit_len = huffman.code_lengths_from_frequencies(hl)
+            dyn_dist_len = huffman.code_lengths_from_frequencies(hd)
+            header = build_dynamic_header(dyn_lit_len, dyn_dist_len)
         cost_dyn = 3 + header.bit_length + symbol_cost_bits(hl, hd, dyn_lit_len, dyn_dist_len)
         cost_fix = 3 + symbol_cost_bits(hl, hd, _FIXED_LIT_BITS, _FIXED_DIST_BITS)
         cost_sto = stored_cost_bits(int(n_valid[i]), 0)

@@ -72,7 +72,8 @@ def _shard_batch(x, mesh):
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=True):
+def _compress_members(arr, level, member_size, mesh, final_flags=None,
+                      want_crc=True, shared_tree=False):
     """Device-parallel member compression.
 
     Returns (parts, n_valid, crcs) where parts[i] is either
@@ -82,6 +83,13 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
     Members are processed in fixed-shape chunks (a small set of
     compiled variants; each mesh device gets MAX_DEVICE_BATCH members
     per call).
+
+    ``shared_tree`` runs the SURVEY §2 all-reduced-frequencies mode:
+    analyze all chunks first, sum the per-member histograms (on a pod
+    this is a ~300-int all-reduce riding ICI), build ONE dynamic tree,
+    and pack every member with it — one host tree build total.  Output
+    stays deterministic for any mesh size (the tree depends only on the
+    global sums).
     """
     # members are independent (window reset at boundaries), so the
     # history prefix is pure padding: run the matcher hist-free, which
@@ -97,8 +105,9 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
     chunk = de.MAX_DEVICE_BATCH * d
     out_words = (9 * member_size) // 32 + 2 * de._HDR_PAD
 
-    parts: list = []
-    crcs_all: list = []
+    # phase A: device analysis (staged when a shared tree needs the
+    # global frequency sums first)
+    staged = []
     for lo in range(0, m, chunk):
         hi = min(lo + chunk, m)
         b = hi - lo
@@ -117,9 +126,30 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None, want_crc=
                             seg_len=member_size, hist=hist)
         hist_lit = np.asarray(res["hist_lit"])[:b]
         hist_dist = np.asarray(res["hist_dist"])[:b]
+        staged.append((lo, hi, b, b_pad, cdata, cnv, d_data, res,
+                       hist_lit, hist_dist))
 
+    shared = None
+    if shared_tree:
+        from ..core import huffman
+
+        hl_sum = np.zeros(de.NUM_LIT_SYMS, np.int64)
+        hd_sum = np.zeros(de.NUM_DIST_SYMS, np.int64)
+        for st in staged:
+            hl_sum[: st[8].shape[1]] += st[8].astype(np.int64).sum(axis=0)
+            hd_sum[: st[9].shape[1]] += st[9].astype(np.int64).sum(axis=0)
+        hl_sum[de.EOB] += m  # one EOB per member block
+        s_lit = huffman.code_lengths_from_frequencies(hl_sum)
+        s_dist = huffman.code_lengths_from_frequencies(hd_sum)
+        shared = (s_lit, s_dist, de.build_dynamic_header(s_lit, s_dist))
+
+    parts: list = []
+    crcs_all: list = []
+    for (lo, hi, b, b_pad, cdata, cnv, d_data, res,
+         hist_lit, hist_dist) in staged:
         hdr, tabs, kinds = de.plan_blocks(
-            hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=b_pad
+            hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=b_pad,
+            shared_tree=shared if shared_tree else False,
         )
         (words, totals), (sp_bits, sp_cmds, sp_outs) = de._pack_segments(
             res, d_data[:, hist:],
@@ -176,6 +206,8 @@ def sharded_gzip_compress(
     os=gz.OS.default(),
     index: bool = True,
     return_meta: bool = False,
+    shared_tree: bool = False,
+    config=None,
 ) -> bytes:
     """Multi-member gzip archive, members compressed data-parallel.
 
@@ -185,12 +217,19 @@ def sharded_gzip_compress(
     listing member byte sizes so :func:`sharded_gzip_decompress` can
     decode all members in parallel; foreign tools ignore it.
     """
+    if config is not None:
+        config.validate()
+        level = config.level if level == 6 else level
+        member_size = config.member_size or member_size
+        index = index and config.write_index
+        shared_tree = shared_tree or config.shared_tree
     arr = de._np_u8(data)
     if arr.size == 0:
         empty = gz.compress(b"", level)
         return (empty, [len(empty)], [[(0, 0, 0)] * (N_SPLITS - 1)]) \
             if return_meta else empty
-    parts, n_valid, crcs = _compress_members(arr, level, member_size, mesh)
+    parts, n_valid, crcs = _compress_members(arr, level, member_size, mesh,
+                                             shared_tree=shared_tree)
     m = len(parts)
 
     head = b"\x1f\x8b\x08\x00" + (mtime & 0xFFFFFFFF).to_bytes(4, "little") \

@@ -28,12 +28,13 @@ class CodecConfig:
     device_batch: int | None = None   # segments per device call
     member_size: int | None = None    # sharded gzip member payload
     write_index: bool = True          # FEXTRA member index for parallel decode
+    shared_tree: bool = False         # all-reduced-frequencies shared tree
     mesh_axis: str = "dp"
     platform: str | None = None       # override jax platform selection
 
     def validate(self) -> "CodecConfig":
-        if not 0 <= self.level <= 9:
-            raise ValueError("level must be in 0..9")
+        if not 0 <= self.level <= 12:
+            raise ValueError("level must be in 0..12")
         if not 8 <= self.window_bits <= 15:
             raise ValueError("window bits must be in 8..15")
         if self.queue_capacity & (self.queue_capacity - 1):

@@ -38,3 +38,7 @@ def small_corpus():
     """A few small/medium corpus files for fast roundtrip tests."""
     names = ["progc", "obj1", "paper1", "rfc5322.txt"]
     return [(n, (CORPUS_DIR / n).read_bytes()) for n in names]
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running multi-process tests")

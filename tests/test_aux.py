@@ -16,8 +16,9 @@ from decompress_tpu.utils import config, profiling
 def test_config_validation():
     cfg = config.CodecConfig(level=9, window_bits=12).validate()
     assert cfg.level == 9
+    assert config.CodecConfig(level=12).validate().level == 12
     with pytest.raises(ValueError):
-        config.CodecConfig(level=10).validate()
+        config.CodecConfig(level=13).validate()
     with pytest.raises(ValueError):
         config.CodecConfig(window_bits=7).validate()
     with pytest.raises(ValueError):

@@ -115,3 +115,48 @@ def test_multihost_index_assembly_matches_single_host():
     rebuilt = bytes(head0) + xt + plain[10:]
     assert rebuilt == indexed
     assert sharded.sharded_gzip_decompress(rebuilt) == data
+
+
+def test_shared_tree_mode():
+    """All-reduced-frequencies shared dynamic tree (SURVEY §2
+    parallelism table): one tree for all members, byte-identical
+    across mesh sizes, oracle-decodable."""
+    import gzip
+
+    from decompress_tpu.parallel import sharded
+
+    data = (b"shared tree determinism " * 4000)[:90000]
+    archives = {}
+    for nd in (1, 2, 8):
+        mesh = sharded.make_mesh(nd)
+        archives[nd] = sharded.sharded_gzip_compress(
+            data, 6, member_size=16384, mesh=mesh, shared_tree=True)
+    assert archives[1] == archives[2] == archives[8]
+    assert gzip.decompress(archives[1]) == data
+    assert sharded.sharded_gzip_decompress(archives[1]) == data
+    # the shared header appears in every dynamic member: the tree is
+    # genuinely shared (compare against per-member-tree archive)
+    per_member = sharded.sharded_gzip_compress(data, 6, member_size=16384)
+    assert archives[1] != per_member
+
+
+def test_codec_config_wiring():
+    """CodecConfig is consumed by the public entry points."""
+    import zlib
+
+    from decompress_tpu import de
+    from decompress_tpu.parallel import sharded
+    from decompress_tpu.utils.config import CodecConfig
+
+    data = b"config object threading " * 500
+    cfg = CodecConfig(level=6, segment_size=4096, window_bits=12)
+    comp = de.deflate(data, config=cfg)
+    assert zlib.decompressobj(-12).decompress(comp) == data  # window honored
+
+    acfg = CodecConfig(level=6, member_size=4096, shared_tree=True)
+    arch = sharded.sharded_gzip_compress(data, config=acfg)
+    import gzip
+
+    assert gzip.decompress(arch) == data
+    with pytest.raises(ValueError):
+        de.deflate(data, config=CodecConfig(level=99))
