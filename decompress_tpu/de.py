@@ -620,10 +620,11 @@ def _get_pack_jit():
 
     from .ops import bitpack as bitpack_ops
 
-    @functools.partial(jax.jit, static_argnames=("out_words", "n_splits"))
+    @functools.partial(jax.jit,
+                       static_argnames=("out_words", "n_splits", "split_stride"))
     def pack(on_path, is_match, length, dist, sym_lit, hdr_vals, hdr_bits,
              lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits,
-             out_words, n_splits=0):
+             out_words, n_splits=0, split_stride=2048):
         lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
         dmap = jnp.asarray(tables.DIST_CODE_MAP)
         lbase = jnp.asarray(LENGTH_BASE)
@@ -679,10 +680,19 @@ def _get_pack_jit():
         boff = bit0 + jnp.cumsum(posbits, axis=1) - posbits
         iota = jnp.arange(segl, dtype=jnp.int32)[None, :]
         big = jnp.int32(1 << 30)
+        # fixed-STRIDE command splits (not output-byte quantiles): the
+        # lockstep decoder's step count is the MAX command count over
+        # rows, so bounding every row at `split_stride` commands keeps
+        # lanes balanced across members of any density AND makes the
+        # decoder's shape (max_cmds = stride) a compile-time constant.
+        # Members with fewer commands simply emit fewer valid triples
+        # (bit offset 0 = unused slot).
+        ncmds = jnp.sum(on_i, axis=1, keepdims=True)
         sb, sc, so = [], [], []
         for j in range(1, n_splits):
-            target = j * (segl // n_splits)
-            cand = jnp.where(on_path & (opos >= target), iota, big)
+            target = j * split_stride
+            cand = jnp.where(on_path & (cmdi >= target) & (target < ncmds),
+                             iota, big)
             pj = jnp.min(cand, axis=1)
             valid = pj < big
             pjc = jnp.minimum(pj, segl - 1)
@@ -702,12 +712,13 @@ def _get_pack_jit():
 
 def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
                    dist_codes, dist_bits, eob_vals, eob_bits, out_words,
-                   n_splits: int = 0):
+                   n_splits: int = 0, split_stride: int = 2048):
     pack = _get_pack_jit()
     return pack(
         res["on_path"], res["is_match"], res["length"], res["dist"], sym_lit,
         hdr_vals, hdr_bits, lit_codes, lit_bits, dist_codes, dist_bits,
         eob_vals, eob_bits, out_words=out_words, n_splits=n_splits,
+        split_stride=split_stride,
     )
 
 

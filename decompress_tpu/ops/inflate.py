@@ -39,10 +39,18 @@ import numpy as np
 
 from ..core import bitstream, huffman, tables
 
-MAX_TABLE = 2048      # per-member packed decode-table row (root 10 + subs)
-DIST_TABLE = 512      # root 8 + subs
-ROOT_LIT = 10
-ROOT_DIST = 8
+TABLE_BITS = 15       # single-level table: max DEFLATE code length
+TABLE_SIZE = 1 << TABLE_BITS
+MAX_TABLE = TABLE_SIZE   # kept for callers sizing padding rows
+DIST_TABLE = TABLE_SIZE
+
+#: fused lit-table entry (int32, 17 bits): kind(2)<<15 | nb(4)<<11 |
+#: extra(3)<<8 | payload(8).  kind: 0 invalid, 1 literal, 2 length,
+#: 3 end-of-block.  payload: literal byte, or length base minus 3.
+LIT_INVALID = 0
+#: fused dist-table entry (int32, 24 bits): valid(1)<<23 | nb(4)<<19 |
+#: extra(4)<<15 | (base-1)(15)
+DIST_INVALID = 0
 
 
 class NotParallelizable(ValueError):
@@ -52,8 +60,11 @@ class NotParallelizable(ValueError):
 
 def prepare_member(body: np.ndarray):
     """Host: parse one member's DEFLATE header; the body must be a
-    single (final) fixed or dynamic block.  Returns (lit_table,
-    dist_table, start_bit) or raises NotParallelizable.
+    single (final) fixed or dynamic block.  Returns ("huff",
+    lit_lens[288] int32, dist_lens[32] int32, start_bit) — the decode
+    tables themselves are built ON DEVICE (:func:`build_fused_tables`)
+    so the host link carries ~320 bytes per member, not 256 KiB —
+    or ("stored", bytes); raises NotParallelizable otherwise.
     """
     from .. import de
 
@@ -83,25 +94,122 @@ def prepare_member(body: np.ndarray):
         dist_lens = tables.FIXED_DIST_LENGTHS
     else:
         lit_lens, dist_lens = de._parse_dynamic_lengths(r)
-    # build at the kernel's peek widths (ROOT_LIT/ROOT_DIST), which may
-    # differ from the host decoders' root sizes
-    try:
-        lit_dt = huffman.build_decode_table(lit_lens, ROOT_LIT)
-        dist_dt = huffman.build_decode_table(dist_lens, ROOT_DIST,
-                                             allow_incomplete=True)
-    except huffman.InvalidTree as e:
-        raise de.MalformedError("invalid dictionary") from e
-    lit = np.full(MAX_TABLE, huffman.ENTRY_INVALID, np.int32)
-    if lit_dt.table.size > MAX_TABLE:
-        raise NotParallelizable("lit table too large")
-    lit[: lit_dt.table.size] = lit_dt.table
-    dist = np.full(DIST_TABLE, huffman.ENTRY_INVALID, np.int32)
-    if dist_dt.table.size > DIST_TABLE:
-        raise NotParallelizable("dist table too large")
-    dist[: dist_dt.table.size] = dist_dt.table
-    # start bit position of the symbol section
+    # host-side validity checks (the device build assumes sane trees)
+    if huffman.kraft_slack(lit_lens) < 0 or huffman.kraft_slack(dist_lens) < 0:
+        raise de.MalformedError("invalid dictionary")
+    nd = int(np.sum(np.asarray(dist_lens) > 0))
+    if huffman.kraft_slack(dist_lens) > 0 and nd > 1:
+        raise de.MalformedError("invalid dictionary")
+    if huffman.kraft_slack(lit_lens) > 0:
+        raise de.MalformedError("invalid dictionary")
+    ll = np.zeros(288, np.int32)
+    ll[: np.asarray(lit_lens).size] = np.asarray(lit_lens, np.int32)
+    dl = np.zeros(32, np.int32)
+    dl[: np.asarray(dist_lens).size] = np.asarray(dist_lens, np.int32)
     start_bit = (r.pos * 8) - r.nbits
-    return ("huff", lit, dist, start_bit)
+    return ("huff", ll, dl, start_bit)
+
+
+def _first_codes(bl_count):
+    """first canonical (MSB-first) code per length, [15]."""
+    codes = []
+    code = jnp.int32(0)
+    for l in range(1, 16):
+        codes.append(code)
+        code = (code + bl_count[l - 1]) << 1
+    # codes[l-1] is the first code of length l AFTER the shift chain:
+    # standard RFC1951: code accumulates counts of shorter lengths
+    return jnp.stack(codes)
+
+
+def _build_one_table(lens, make_entry, entry_bits):
+    """Forward-indexed (MSB-first, left-aligned) single-level decode
+    table from code lengths, built with scatter + cummax.
+
+    Every length-l code owns the index range [code << (15-l),
+    (code+1) << (15-l)); scattering (start << 17 | entry_plane) and
+    taking a running max fills each range with its entry.  Entries
+    wider than 17 bits are split into 17-bit planes (int64 is
+    unavailable); range ends get an invalid-entry sentinel so
+    incomplete trees decode as invalid instead of bleeding the
+    previous symbol.
+    """
+    S = lens.shape[0]
+    l = lens
+    oneh = (l[:, None] == jnp.arange(1, 16)[None, :]).astype(jnp.int32)
+    bl_count = oneh.sum(0)
+    first = _first_codes(bl_count)
+    rank = jnp.cumsum(oneh, axis=0) - 1
+    code = jnp.sum(oneh * (first[None, :] + rank), axis=1)
+    valid = l > 0
+    start = jnp.where(valid, code << (TABLE_BITS - jnp.maximum(l, 1)), 0)
+    size = jnp.where(valid, 1 << (TABLE_BITS - jnp.minimum(l, TABLE_BITS)), 0)
+    entry = make_entry(jnp.arange(S), l)
+    idx = jnp.where(valid, start, TABLE_SIZE)           # drop absent syms
+    ends = start + size
+    endidx = jnp.where(valid, ends, TABLE_SIZE)          # == TABLE_SIZE drops
+    W = 17
+    pos_tag = start.astype(jnp.uint32) << W
+    end_tag = ends.astype(jnp.uint32) << W
+    acc = None
+    for pl in range((entry_bits + W - 1) // W):
+        pe = ((entry >> (pl * W)) & ((1 << W) - 1)).astype(jnp.uint32)
+        t = jnp.zeros(TABLE_SIZE, jnp.uint32)
+        t = t.at[idx].max(pos_tag | pe, mode="drop")
+        t = t.at[endidx].max(end_tag, mode="drop")
+        t = jax.lax.cummax(t)
+        plane = (t & ((1 << W) - 1)).astype(jnp.int32)
+        acc = plane if acc is None else acc | (plane << (pl * W))
+    return acc
+
+
+@jax.jit
+def build_fused_tables(lit_lens, dist_lens):
+    """Device-side decode-table build for a batch of members.
+
+    lit_lens int32[M, 288], dist_lens int32[M, 32] ->
+    (lit_tabs int32[M, 32768], dist_tabs int32[M, 32768]) with fused
+    entries (symbol kind + code length + extra-bit count + base folded
+    into one word), indexed by the FORWARD 15-bit code (the kernel
+    bit-reverses its peek).  ~2 ms for 64 members: one scatter and one
+    cummax per table.
+    """
+    lbase = jnp.asarray(tables.LENGTH_BASE, jnp.int32)
+    lextra = jnp.asarray(tables.LENGTH_EXTRA, jnp.int32)
+    dbase = jnp.asarray(tables.DIST_BASE, jnp.int32)
+    dextra = jnp.asarray(tables.DIST_EXTRA, jnp.int32)
+
+    def lit_entry(sym, l):
+        is_lit = sym < 256
+        is_eob = sym == 256
+        lcode = jnp.clip(sym - 257, 0, 28)
+        kind = jnp.where(is_lit, 1, jnp.where(is_eob, 3, 2))
+        extra = jnp.where(sym > 256, lextra[lcode], 0)
+        payload = jnp.where(is_lit, sym, jnp.where(is_eob, 0, lbase[lcode] - 3))
+        kind = jnp.where(sym > 285, 0, kind)
+        return jnp.where(
+            l > 0, (kind << 15) | (l << 11) | (extra << 8) | payload, 0)
+
+    def dist_entry(sym, l):
+        scode = jnp.clip(sym, 0, 29)
+        ok = sym < 30
+        e = (1 << 23) | (l << 19) | (dextra[scode] << 15) | (dbase[scode] - 1)
+        return jnp.where((l > 0) & ok, e, 0)
+
+    lit = jax.vmap(lambda ls: _build_one_table(ls, lit_entry, 17))(lit_lens)
+    dist = jax.vmap(lambda ls: _build_one_table(ls, dist_entry, 24))(dist_lens)
+    return lit, dist
+
+
+def _rev15(x):
+    """Reverse the low 15 bits (elementwise)."""
+    u32 = jnp.uint32
+    x = x.astype(u32) & u32(0x7FFF)
+    x = ((x & u32(0x5555)) << 1) | ((x >> 1) & u32(0x5555))
+    x = ((x & u32(0x3333)) << 2) | ((x >> 2) & u32(0x3333))
+    x = ((x & u32(0x0F0F)) << 4) | ((x >> 4) & u32(0x0F0F))
+    x = ((x & u32(0x00FF)) << 8) | ((x >> 8) & u32(0x00FF))
+    return (x >> 1).astype(jnp.int32)  # 16-bit reverse -> drop 1 for 15
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))
@@ -109,156 +217,114 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
                    stop_counts=None, row_members=None):
     """Lockstep symbol decode across B members (or member *chunks*).
 
-    words: uint32[B, W]; start_bits: int32[B]; lit_tabs: int32[B, MAX_TABLE];
-    dist_tabs: int32[B, DIST_TABLE]; stop_counts: optional int32[B] —
-    a row is done after decoding that many commands even without an
-    end-of-block symbol (the split-indexed decode: chunks of one
-    member's symbol stream decoded as independent rows; 0 = EOB only).
-    With row_members (int32[B]), words/lit_tabs/dist_tabs are
-    *per-member* arrays indexed on device — several chunk rows share a
-    member without duplicating the upload across the host link.
+    words: uint32[M, W]; start_bits: int32[B]; lit_tabs/dist_tabs:
+    int32[M, 32768] fused tables from :func:`build_fused_tables`;
+    stop_counts: optional int32[B] — a row is done after decoding that
+    many commands even without an end-of-block symbol (the
+    split-indexed decode; 0 = EOB only).  row_members (int32[B]) maps
+    rows to member arrays so chunk rows share one member upload.
     Returns (kinds int8[B, max_cmds] (0 lit, 1 copy, 2 end), values
-    int32[B, max_cmds] (literal byte or length), dists int32[B, max_cmds],
-    ok bool[B]).
+    int32[B, max_cmds], dists int32[B, max_cmds], ok bool[B]).
 
-    Each member carries a 64-bit bit-window (two uint32 lanes) refilled
-    one word at a time, so a whole command (lit+extra+dist+extra,
-    <= 48 bits) decodes per iteration from register arithmetic with two
-    conditional word gathers and four table gathers.
+    Design: gather-frugal.  The chip executes ~140 M gathered elements
+    per second but >20 G elementwise lane-ops per second (measured), so
+    the kernel spends elementwise ops to avoid gathers: one 8-word
+    stateless bit-window gather per 4-symbol step (no carried
+    hold/refill state), a single flat gather per code resolution
+    (single-level forward table addressed by a bit-reversed peek — the
+    reverse is ~10 register ops), and base/extra folded into the table
+    entry.  ~4 gathered elements per symbol per lane total, vs ~10
+    batched-gather rows in the round-1 kernel — the difference between
+    ~4 MB/s and >50 MB/s on the same chip.  Replaces the reference's
+    byte-serial hot loop de.ml:1054-1261.
     """
-    if row_members is not None:
-        words = words[row_members]
-        lit_tabs = lit_tabs[row_members]
-        dist_tabs = dist_tabs[row_members]
-    b, wmax = words.shape
-    lbase = jnp.asarray(tables.LENGTH_BASE)
-    lextra = jnp.asarray(tables.LENGTH_EXTRA)
-    dbase = jnp.asarray(tables.DIST_BASE)
-    dextra = jnp.asarray(tables.DIST_EXTRA)
+    b = start_bits.shape[0]
+    M, wmax = words.shape
+    words_f = words.reshape(-1)
+    lit_f = lit_tabs.reshape(-1)
+    dist_f = dist_tabs.reshape(-1)
+    if row_members is None:
+        row_members = jnp.arange(b, dtype=jnp.int32) % M
+    wrow = row_members * wmax
+    lrow = row_members * TABLE_SIZE
+    drow = row_members * TABLE_SIZE
     u32 = jnp.uint32
+    NW = 8  # window words per step: 31 + 4*48 + 15+5 peek <= 256 bits
 
-    def gather_word(widx):
-        return jnp.take_along_axis(
-            words, jnp.minimum(widx, wmax - 1)[:, None], axis=1)[:, 0]
+    def step(carry):
+        i, pos, done, bad, cmds = carry
+        base = pos >> 5
+        off0 = pos & 31
+        ws = [words_f[wrow + jnp.minimum(base + k, wmax - 1)].astype(u32)
+              for k in range(NW)]
 
-    def refill16(hidx, hlo, hhi, bits):
-        """Insert one 16-bit halfword when fewer than 48 bits are
-        buffered.  Halfword granularity is what makes the >=48-bit
-        invariant compatible with the 64-bit window: a refill is needed
-        whenever bits < 48 and 16 more always fit (48 + 16 = 64)."""
-        need = bits < 48
-        w = jnp.where(need, gather_word(hidx >> 1), u32(0))
-        h16 = (w >> ((hidx & 1).astype(u32) * u32(16))) & u32(0xFFFF)
-        sh = jnp.clip(bits, 0, 48).astype(u32)
-        lo_add = jnp.where(sh < 32, h16 << (sh & u32(31)), u32(0))
-        hi_add = jnp.where(
-            sh < 32,
-            jnp.where(sh == 0, u32(0), h16 >> ((u32(32) - sh) & u32(31))),
-            h16 << ((sh - u32(32)) & u32(31)),
-        )
-        return (
-            jnp.where(need, hidx + 1, hidx),
-            hlo | lo_add,
-            hhi | hi_add,
-            jnp.where(need, bits + 16, bits),
-        )
+        def peek32(o):
+            lane = o >> 5
+            sh = (o & 31).astype(u32)
+            w0 = ws[0]
+            w1 = ws[1]
+            for k in range(1, NW):
+                w0 = jnp.where(lane == k, ws[k], w0)
+                w1 = jnp.where(lane == k, ws[min(k + 1, NW - 1)], w1)
+            hi = jnp.where(sh == 0, u32(0), w1 << ((u32(32) - sh) & u32(31)))
+            return (w0 >> sh) | hi
 
-    def consume(hlo, hhi, bits, n):
-        nu = n.astype(u32)
-        lo = jnp.where(
-            nu == 0, hlo,
-            (hlo >> nu) | (hhi << ((u32(32) - nu) & u32(31))),
-        )
-        return lo, hhi >> nu, bits - n
+        o = off0
+        new_done, new_bad = done, bad
+        pos_new = pos
+        for u in range(4):
+            p = peek32(o)
+            e = lit_f[lrow + _rev15(p)]
+            kind = e >> 15
+            nb = (e >> 11) & 15
+            extra = (e >> 8) & 7
+            payload = e & 0xFF
+            lext = ((p >> nb.astype(u32)) &
+                    ((u32(1) << extra.astype(u32)) - u32(1))).astype(jnp.int32)
+            is_copy = kind == 2
+            is_end = kind == 3
+            value = jnp.where(is_copy, payload + 3 + lext, payload)
+            c1 = nb + extra
+            o2 = o + c1
+            p2 = peek32(o2)
+            de_ = dist_f[drow + _rev15(p2)]
+            dvalid = (de_ >> 23) != 0
+            dnb = (de_ >> 19) & 15
+            dxn = (de_ >> 15) & 15
+            dext = ((p2 >> dnb.astype(u32)) &
+                    ((u32(1) << dxn.astype(u32)) - u32(1))).astype(jnp.int32)
+            dist = (de_ & 0x7FFF) + 1 + dext
+            c2 = jnp.where(is_copy, dnb + dxn, 0)
 
-    def resolve(tabs, root_bits, peek):
-        idx = (peek & u32((1 << root_bits) - 1)).astype(jnp.int32)
-        e = jnp.take_along_axis(tabs, idx[:, None], axis=1)[:, 0]
-        is_link = (e >> 28) == huffman.F_LINK
-        sub_bits = (e >> 16) & 0xFFF
-        sub_idx = (e & 0xFFFF) + (
-            (peek >> root_bits).astype(jnp.int32) & ((1 << sub_bits) - 1)
-        )
-        e2 = jnp.take_along_axis(
-            tabs, jnp.minimum(sub_idx, tabs.shape[1] - 1)[:, None], axis=1)[:, 0]
-        e = jnp.where(is_link, e2, e)
-        return e & 0xFFFF, (e >> 16) & 0xFFF, (e >> 28) != huffman.F_SYMBOL
+            sym_bad = (kind == 0) | (is_copy & ~dvalid)
+            write = ~new_done & ~sym_bad
+            if stop_counts is not None:
+                # count-stopped rows: mid-chunk end-of-block is malformed
+                sym_bad = sym_bad | (write & is_end & (stop_counts > 0))
+                write = write & ~sym_bad
+            okind = jnp.where(is_end, 2, jnp.where(is_copy, 1, 0))
+            packed = (okind << 26) | (jnp.where(is_copy, dist, 0) << 10) | value
+            packed = jnp.where(write, packed, 2 << 26)
+            cmds = cmds.at[i + u].set(packed)
+            new_bad = new_bad | (~new_done & sym_bad)
+            adv = jnp.where(write & ~is_end, c1 + c2,
+                            jnp.where(write & is_end, c1, 0))
+            o = o + jnp.where(write, c1 + c2, 0)
+            pos_new = pos_new + adv
+            new_done = new_done | (is_end & ~new_done) | new_bad
+            if stop_counts is not None:
+                new_done = new_done | (
+                    (stop_counts > 0) & (i + u + 1 >= stop_counts))
+        return i + 4, pos_new, new_done, new_bad, cmds
 
-    def substep(state):
-        i, widx, hlo, hhi, bits, done, bad, cmds = state
-        # three conditional 16-bit refills guarantee >= 48 buffered bits
-        widx, hlo, hhi, bits = refill16(widx, hlo, hhi, bits)
-        widx, hlo, hhi, bits = refill16(widx, hlo, hhi, bits)
-        widx, hlo, hhi, bits = refill16(widx, hlo, hhi, bits)
-
-        sym, nb, bad1 = resolve(lit_tabs, ROOT_LIT, hlo)
-        lsym = jnp.clip(sym - 257, 0, 28)
-        leb = lextra[lsym]
-        lext = (hlo >> nb.astype(u32)) & ((u32(1) << leb.astype(u32)) - u32(1))
-        length = lbase[lsym] + lext.astype(jnp.int32)
-        is_lit = sym < 256
-        is_end = sym == 256
-        is_copy = sym > 256
-        c1 = jnp.where(is_copy, nb + leb, nb)
-        hlo2, hhi2, bits2 = consume(hlo, hhi, bits, c1)
-
-        dsym, dnb, bad2 = resolve(dist_tabs, ROOT_DIST, hlo2)
-        deb = dextra[jnp.clip(dsym, 0, 29)]
-        dext = (hlo2 >> dnb.astype(u32)) & ((u32(1) << deb.astype(u32)) - u32(1))
-        dist = dbase[jnp.clip(dsym, 0, 29)] + dext.astype(jnp.int32)
-        c2 = jnp.where(is_copy, dnb + deb, 0)
-        hlo3, hhi3, bits3 = consume(hlo2, hhi2, bits2, c2)
-
-        kind = jnp.where(is_end, 2, jnp.where(is_copy, 1, 0))
-        value = jnp.where(is_copy, length, sym)
-        new_bad = bad | (~done & (bad1 | (is_copy & (bad2 | (dsym > 29))) | (sym > 285)))
-        write = ~done & ~new_bad
-        if stop_counts is not None:
-            # count-stopped rows: a mid-chunk end-of-block is malformed
-            new_bad = new_bad | (write & is_end & (stop_counts > 0))
-        # single packed row write: kind<<26 | dist<<10 | value
-        packed = (kind << 26) | (jnp.where(is_copy, dist, 0) << 10) | value
-        # each row is written exactly once (at iteration i); non-writing
-        # members record the end marker
-        packed = jnp.where(write, packed, 2 << 26)
-        cmds = cmds.at[i].set(packed)
-        keep = ~write
-        widx = jnp.where(keep, state[1], widx)
-        hlo3 = jnp.where(keep, hlo, hlo3)
-        hhi3 = jnp.where(keep, hhi, hhi3)
-        bits3 = jnp.where(keep, bits, bits3)
-        done = done | is_end | new_bad
-        if stop_counts is not None:
-            done = done | ((stop_counts > 0) & (i + 1 >= stop_counts))
-        return i + 1, widx, hlo3, hhi3, bits3, done, new_bad, cmds
-
-    def step(state):
-        # four symbols per loop iteration amortize the while_loop's
-        # per-step issue cost
-        return substep(substep(substep(substep(state))))
-
-    def cond(state):
-        i, _, _, _, _, done, _, _ = state
+    def cond(carry):
+        i, _, done, _, _ = carry
         return (i < max_cmds - 3) & ~jnp.all(done)
 
-    # prime each member's window at its start bit (halfword cursor)
-    widx0 = (start_bits >> 5).astype(jnp.int32)
-    hlo0 = gather_word(widx0)
-    hhi0 = jnp.take_along_axis(
-        words, jnp.minimum(widx0 + 1, wmax - 1)[:, None], axis=1)[:, 0]
-    drop = (start_bits & 31).astype(jnp.int32)
-    hlo0, hhi0, bits0 = consume(hlo0, hhi0, jnp.full(b, 64, jnp.int32), drop)
-    widx0 = (widx0 + 2) * 2  # halfword index
-
-    cmds0 = jnp.full((max_cmds, b), 2 << 26, jnp.int32)  # row-major: one
-    # contiguous row write per symbol keeps the while-loop carry in place
-    init = (
-        jnp.int32(0), widx0, hlo0, hhi0, bits0,
-        jnp.zeros(b, bool), jnp.zeros(b, bool),
-        cmds0,
-    )
-    out = jax.lax.while_loop(cond, step, init)
-    _, _, _, _, _, done, bad, cmds = out
+    cmds0 = jnp.full((max_cmds, b), 2 << 26, jnp.int32)
+    init = (jnp.int32(0), start_bits.astype(jnp.int32),
+            jnp.zeros(b, bool), jnp.zeros(b, bool), cmds0)
+    _, _, done, bad, cmds = jax.lax.while_loop(cond, step, init)
     cmds = cmds.T
     kinds = (cmds >> 26).astype(jnp.int8)
     values = cmds & 0x3FF

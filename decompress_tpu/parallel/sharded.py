@@ -154,7 +154,7 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
         (words, totals), (sp_bits, sp_cmds, sp_outs) = de._pack_segments(
             res, d_data[:, hist:],
             *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
-            out_words, n_splits=N_SPLITS,
+            out_words, n_splits=N_SPLITS, split_stride=SPLIT_STRIDE,
         )
         totals = np.asarray(totals)[:b]
         sp_bits = np.asarray(sp_bits)[:b]
@@ -193,7 +193,17 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
 
 INDEX_ID = b"TZ"  # gzip FEXTRA subfield carrying member byte sizes
 SPLIT_ID = b"TS"  # FEXTRA subfield: per-member symbol-stream split points
-N_SPLITS = 4      # chunks per member for the chunk-parallel decoder
+# Chunk rows per member for the chunk-parallel decoder.  The decode
+# kernel is gather-throughput-bound and needs >= ~1024 lanes to
+# amortize the fixed per-gather-op cost (measured ~1.8 us/op below
+# ~256 lanes), so members split into many short symbol-stream rows.
+# Splits are at FIXED command strides: every row decodes at most
+# SPLIT_STRIDE commands, so lanes stay balanced across members of any
+# density and the decode kernel's max_cmds is a compile-time constant.
+# N_SPLITS bounds the recorded triples (a 130560-byte member is at
+# most 130561 commands < 64 * 2048).
+N_SPLITS = 64
+SPLIT_STRIDE = 2048
 
 
 def sharded_gzip_compress(
@@ -278,7 +288,8 @@ def _build_index(m: int, sizes: list, split_rows: list) -> bytes | None:
     identical for any host count.
     """
     # sizes subfield + split subfield must fit one FEXTRA (<= 65535)
-    split_len = 1 + 12 * (N_SPLITS - 1) * m
+    split_len = 1 + sum(
+        1 + 12 * sum(1 for t in row if t[0] > 0) for row in split_rows)
     use_splits = 4 + (4 + 4 * m) + (4 + split_len) <= 65535
     if m > (65531 - 8) // 4:
         return None
@@ -286,12 +297,17 @@ def _build_index(m: int, sizes: list, split_rows: list) -> bytes | None:
     extra_len = 2 + 4 + xdata_len
     sfield = b""
     if use_splits:
-        sdata = bytes([N_SPLITS]) + b"".join(
-            bo.to_bytes(4, "little") + ci.to_bytes(4, "little")
-            + oo.to_bytes(4, "little")
-            for row in split_rows
-            for (bo, ci, oo) in row
-        )
+        # count-prefixed VALID triples per member (bit offset 0 =
+        # unused slot): members record ~ncmds/SPLIT_STRIDE triples, so
+        # storing the full N_SPLITS-1 rectangle would waste ~40 KiB on
+        # a typical archive
+        parts_enc = []
+        for row in split_rows:
+            valid = [t for t in row if t[0] > 0]
+            parts_enc.append(bytes([len(valid)]) + b"".join(
+                bo.to_bytes(4, "little") + ci.to_bytes(4, "little")
+                + oo.to_bytes(4, "little") for (bo, ci, oo) in valid))
+        sdata = bytes([N_SPLITS]) + b"".join(parts_enc)
         sfield = SPLIT_ID + len(sdata).to_bytes(2, "little") + sdata
         extra_len += len(sfield)
     sizes = list(sizes)
@@ -368,6 +384,16 @@ def sharded_gzip_decompress(archive) -> bytes:
         m = len(huff)
         out_len = _ceil_pow2_int(max(metas[i][3] for i in huff))
         wmax = _ceil_pow2_int(max(metas[i][1].size for i in huff) // 4 + 4)
+        # split stride: triples are recorded every SPLIT_STRIDE
+        # commands, so a member's final row (and a member too short for
+        # any split) holds at most stride commands — the first valid
+        # triple's command index IS the stride
+        stride_cap = 0
+        if use_splits:
+            for i in huff:
+                tri = [t for t in splits[i] if t[0] > 0]
+                if tri:
+                    stride_cap = max(stride_cap, tri[0][1])
         # rows: (member idx, start bit, stop count; 0 = decode to EOB)
         rows: list = []
         row_caps: list = []
@@ -387,25 +413,34 @@ def sharded_gzip_decompress(archive) -> bytes:
                 else:
                     stop = 0
                     cap = isize - outb[-1] + 2  # cmds <= out bytes + EOB
+                    if stride_cap:
+                        # a too-small cap is safe: the row would fail to
+                        # reach EOB within max_cmds -> ok=False -> the
+                        # serial fallback (and CRCs backstop everything)
+                        cap = min(cap, stride_cap + 4)
                 rows.append((i, bits[j], stop))
                 row_caps.append(cap)
         nrows = len(rows)
         b_pad = _ceil_pow2_int(nrows)
-        max_cmds = (max(row_caps) if use_splits else out_len) + 4
+        # pow2 bucket: bounds compile variants; the while_loop exits
+        # as soon as every row is done, so rounding up is ~free
+        max_cmds = _ceil_pow2_int((max(row_caps) if use_splits else out_len) + 4)
         # per-MEMBER upload arrays (+1 sentinel row with invalid tables
         # for padding rows); chunk rows map to members on device, so the
         # host link carries each member's words/tables once
         midx = {i: r for r, i in enumerate(huff)}
         mw = np.zeros((m + 1, wmax), np.uint32)
-        lits = np.full((m + 1, inflate_ops.MAX_TABLE), huffman_invalid(), np.int32)
-        dists = np.full((m + 1, inflate_ops.DIST_TABLE), huffman_invalid(), np.int32)
+        # upload per-member CODE LENGTHS (~320 B each); the fused decode
+        # tables are built on device (scatter + cummax)
+        lit_lens = np.zeros((m + 1, 288), np.int32)
+        dist_lens = np.zeros((m + 1, 32), np.int32)
         for i in huff:
-            (_, lit, dist, _), body, _, _ = metas[i]
+            (_, ll_, dl_, _), body, _, _ = metas[i]
             bw = np.zeros(wmax * 4, np.uint8)
             bw[: body.size] = body
             mw[midx[i]] = bw.view("<u4")
-            lits[midx[i]] = lit
-            dists[midx[i]] = dist
+            lit_lens[midx[i]] = ll_
+            dist_lens[midx[i]] = dl_
         start_bits = np.zeros(b_pad, np.int32)
         stop_counts = np.zeros(b_pad, np.int32)
         row_members = np.full(b_pad, m, np.int32)  # default: sentinel
@@ -415,9 +450,11 @@ def sharded_gzip_decompress(archive) -> bytes:
             stop_counts[row] = stop
             row_members[row] = midx[i]
             first_row.setdefault(i, row)
+        lit_tabs, dist_tabs = inflate_ops.build_fused_tables(
+            jnp.asarray(lit_lens), jnp.asarray(dist_lens))
         kinds, values, dvals, ok = inflate_ops.decode_symbols(
-            jnp.asarray(mw), jnp.asarray(start_bits), jnp.asarray(lits),
-            jnp.asarray(dists), max_cmds=max_cmds,
+            jnp.asarray(mw), jnp.asarray(start_bits), lit_tabs,
+            dist_tabs, max_cmds=max_cmds,
             stop_counts=jnp.asarray(stop_counts) if use_splits else None,
             row_members=jnp.asarray(row_members),
         )
@@ -542,21 +579,26 @@ def _read_index_ex(buf: np.ndarray):
             ]
         elif sid == SPLIT_ID and len(data) >= 1:
             ns = data[0]
-            triples = []
+            rows_out = []
             j = 1
-            while j + 12 <= len(data):
-                triples.append((
-                    int.from_bytes(data[j : j + 4], "little"),
-                    int.from_bytes(data[j + 4 : j + 8], "little"),
-                    int.from_bytes(data[j + 8 : j + 12], "little"),
-                ))
-                j += 12
-            per = ns - 1
-            if per > 0 and len(triples) % per == 0:
-                splits = [
-                    triples[k * per : (k + 1) * per]
-                    for k in range(len(triples) // per)
-                ]
+            bad = ns < 2
+            while j < len(data):
+                nvalid = data[j]
+                j += 1
+                if nvalid > ns - 1 or j + 12 * nvalid > len(data):
+                    bad = True
+                    break
+                row = []
+                for _ in range(nvalid):
+                    row.append((
+                        int.from_bytes(data[j : j + 4], "little"),
+                        int.from_bytes(data[j + 4 : j + 8], "little"),
+                        int.from_bytes(data[j + 8 : j + 12], "little"),
+                    ))
+                    j += 12
+                rows_out.append(row)
+            if not bad and rows_out:
+                splits = rows_out
         i += 4 + ln
     return sizes, splits
 

@@ -90,8 +90,9 @@ def test_split_index_present_and_used(payload, monkeypatch):
     sizes, splits = sh._read_index_ex(de._np_u8(arch))
     assert sizes is not None and splits is not None
     assert len(splits) == len(sizes)
-    # big members should have all interior splits recorded
-    assert any(all(t[0] > 0 for t in sp) for sp in splits)
+    # big members should have fixed-stride splits recorded (a member
+    # records ~ncmds/SPLIT_STRIDE valid triples, not all 63)
+    assert any(any(t[0] > 0 for t in sp) for sp in splits)
     # split offsets are strictly increasing where present
     for sp in splits:
         prev = 0
