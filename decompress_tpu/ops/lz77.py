@@ -217,19 +217,23 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     w4_s = jnp.roll(w, -4)[sp]
     f16_s = fp[16][sp]
     if cfg.full_ladder:
-        w6_s = jnp.roll(w, -6)[sp]
-        f8o4_s = jnp.roll(fp[8], -4)[sp]
-        w10_s = jnp.roll(w, -10)[sp]
-        w16_s = jnp.roll(w, -16)[sp]
-        f16o8_s = jnp.roll(fp[16], -8)[sp]
-        f32_s = fp[32][sp]
-        f16o32_s = jnp.roll(fp[16], -32)[sp]
-        f64_s = fp[64][sp]
-        f32o64_s = jnp.roll(fp[32], -64)[sp]
-        f128_s = fp[128][sp]
-        f64o128_s = jnp.roll(fp[64], -128)[sp]
-        extra_probes = (w6_s, f8o4_s, w10_s, w16_s, f16o8_s, f32_s,
-                        f16o32_s, f64_s, f32o64_s, f128_s, f64o128_s)
+        # ladder probes are pure equality tests, so pack PAIRS as
+        # 16-bit hashes in one uint32: half the sorted-order gathers
+        # (the dominant candidate-stage cost) for a 1.5e-5 collision
+        # rate that the exact verification pass already covers
+        def h16(x):
+            return (x * jnp.uint32(2654435761)) >> jnp.uint32(16)
+
+        def pack2(a, b):
+            return (h16(a) << 16) | h16(b)
+
+        p1 = pack2(jnp.roll(w, -6), jnp.roll(fp[8], -4))[sp]
+        p2 = pack2(jnp.roll(w, -10), jnp.roll(w, -16))[sp]
+        p3 = pack2(jnp.roll(fp[16], -8), fp[32])[sp]
+        p4 = pack2(jnp.roll(fp[16], -32), fp[64])[sp]
+        p5 = pack2(jnp.roll(fp[32], -64), fp[128])[sp]
+        p6 = (h16(jnp.roll(fp[64], -128)))[sp]
+        extra_probes = (p1, p2, p3, p4, p5, p6)
     else:
         # short ladder (fast levels): exact words + one 16 and one
         # 64-byte fingerprint
@@ -286,21 +290,23 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             # fingerprints give fine resolution where matches are
             # common (8..32) and coarser beyond; weights are floor
             # deltas, so the grade stays a monotone proxy of the
-            # guaranteed match length.
-            (w6_k, f8o4_k, w10_k, w16_k, f16o8_k, f32_k, f16o32_k,
-             f64_k, f32o64_k, f128_k, f64o128_k) = shifted_probes[3:]
-            eq10 = (w6_k == w6_s) & len8
-            eq12 = (f8o4_k == f8o4_s) & eq10
-            eq14 = (w10_k == w10_s) & eq12
+            # guaranteed match length.  Probe pairs live in 16-bit
+            # halves of the packed arrays.
+            p1_k, p2_k, p3_k, p4_k, p5_k, p6_k = shifted_probes[3:]
+            hi = jnp.uint32(0xFFFF0000)
+            lo = jnp.uint32(0x0000FFFF)
+            eq10 = (((p1_k ^ p1) & hi) == 0) & len8
+            eq12 = (((p1_k ^ p1) & lo) == 0) & eq10
+            eq14 = (((p2_k ^ p2) & hi) == 0) & eq12
             eq16 = (f16_k == f16_s) & eq14
-            eq20 = (w16_k == w16_s) & eq16
-            eq24 = (f16o8_k == f16o8_s) & eq20
-            eq32 = (f32_k == f32_s) & eq24
-            eq48 = (f16o32_k == f16o32_s) & eq32
-            eq64 = (f64_k == f64_s) & eq48
-            eq96 = (f32o64_k == f32o64_s) & eq64
-            eq128 = (f128_k == f128_s) & eq96
-            eq192 = (f64o128_k == f64o128_s) & eq128
+            eq20 = (((p2_k ^ p2) & lo) == 0) & eq16
+            eq24 = (((p3_k ^ p3) & hi) == 0) & eq20
+            eq32 = (((p3_k ^ p3) & lo) == 0) & eq24
+            eq48 = (((p4_k ^ p4) & hi) == 0) & eq32
+            eq64 = (((p4_k ^ p4) & lo) == 0) & eq48
+            eq96 = (((p5_k ^ p5) & hi) == 0) & eq64
+            eq128 = (((p5_k ^ p5) & lo) == 0) & eq96
+            eq192 = (((p6_k ^ p6) & lo) == 0) & eq128
             grade = (
                 jnp.where(ok, plen4, 0)
                 + plen8
@@ -363,11 +369,19 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             jnp.arange(1, kmax + 1, dtype=jnp.int32),
         )
 
-    # winner back to position space: one packed scatter
+    # winner back to position space: one packed scatter.  The ladder
+    # grade is a TRUE length floor (equal bytes imply equal
+    # fingerprints, so rungs never false-negative) — pack it along so
+    # the descent can START at the floor and skip the big spans.
     btier_r = jnp.where(best_p4 >= 4, 2, 1)  # 1 = exactly-3-byte candidate
     has_r = best_score > neg_inf
+    # score = (grade << 17) - dist  =>  grade = (score + dist) >> 17
+    grade_r = jnp.clip(
+        (best_score + (sp - best_cand)) >> 17, 0, MAX_MATCH)
+    floor_r = jnp.where(has_r, grade_r, 0)
     packed_r = (
-        (jnp.maximum(best_cand, 0) << 3)
+        (jnp.maximum(best_cand, 0) << 12)
+        | (floor_r << 3)
         | (btier_r << 1)
         | has_r.astype(jnp.int32)
     )
@@ -376,22 +390,28 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
     )[hist:]
     has = (packed & 1) == 1
     btier = (packed >> 1) & 3
-    bcand = packed >> 3
+    bfloor = (packed >> 3) & 0x1FF
+    bcand = packed >> 12
     pos_pay = jnp.arange(seg_len, dtype=jnp.int32) + hist
     bdist = pos_pay - bcand
     bsafe = jnp.where(has, bcand, 0)
     if cfg.top2:
+        grade2_r = jnp.clip(
+            (score2_r + (sp - cand2_r)) >> 17, 0, MAX_MATCH)
+        has2_r = score2_r > neg_inf
         packed2_r = (
-            (jnp.maximum(cand2_r, 0) << 3)
+            (jnp.maximum(cand2_r, 0) << 12)
+            | (jnp.where(has2_r, grade2_r, 0) << 3)
             | (jnp.where(p42_r >= 4, 2, 1) << 1)
-            | (score2_r > neg_inf).astype(jnp.int32)
+            | has2_r.astype(jnp.int32)
         )
         packed2 = (
             jnp.zeros(t, jnp.int32).at[sp].set(packed2_r, unique_indices=True)
         )[hist:]
         has2 = (packed2 & 1) == 1
         btier2 = (packed2 >> 1) & 3
-        bcand2 = packed2 >> 3
+        bfloor2 = (packed2 >> 3) & 0x1FF
+        bcand2 = packed2 >> 12
         bdist2 = pos_pay - bcand2
         bsafe2 = jnp.where(has2, bcand2, 0)
 
@@ -406,12 +426,20 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             length = length + jnp.where(alive, eq, 0)
             alive = alive & (eq == 4)
     else:
-        # doubling LCP descent over the fingerprint pyramid.
-        # spans 4 and the final refine are exact; larger spans are
-        # fingerprints (verified later).
-        def descend(bsafe_d, has_d, btier_d):
-            length = jnp.zeros(seg_len, jnp.int32)
-            for span in (256, 128, 64, 32, 16, 8, 4):
+        # doubling LCP descent over the fingerprint pyramid, STARTING
+        # AT THE LADDER FLOOR: rungs never false-negative, so the
+        # winner's graded floor is a guaranteed prefix and the next
+        # rung a guaranteed ceiling — only the inter-rung gap needs
+        # resolving.  The largest full-ladder gap is 66 (192 -> 258),
+        # so spans stop at 64 (the short fast-level ladder has a
+        # 64 -> 258 gap and keeps span 128).  Spans 4 and the final
+        # refine are exact; larger spans are fingerprints (the exact
+        # verification pass backstops collisions, as before).
+        spans = (64, 32, 16, 8, 4) if cfg.full_ladder else (128, 64, 32, 16, 8, 4)
+
+        def descend(bsafe_d, has_d, btier_d, floor_d):
+            length = jnp.where(has_d, floor_d, 0)
+            for span in spans:
                 idx_c = jnp.minimum(bsafe_d + length, t - 1)
                 idx_i = jnp.minimum(pos_pay + length, t - 1)
                 f = fp[span]
@@ -427,11 +455,11 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             length = jnp.where(has_d & (btier_d == 1) & (length < 3), 3, length)
             return jnp.where(has_d, length, 0)
 
-        length = descend(bsafe, has, btier)
+        length = descend(bsafe, has, btier, bfloor)
         if cfg.top2:
             # resolve the runner-up exactly too and keep the longer
             # (ties -> nearer): removes within-floor grade misranking
-            length2 = descend(bsafe2, has2, btier2)
+            length2 = descend(bsafe2, has2, btier2, bfloor2)
             take2 = (length2 > length) | ((length2 == length) & (bdist2 < bdist))
             length = jnp.where(take2, length2, length)
             bdist = jnp.where(take2, bdist2, bdist)
