@@ -164,6 +164,72 @@ def _ceil_pow2(n: int) -> int:
     return p
 
 
+# ---------------------------------------------------------------------------
+# Pallas MXU kernel for the GF(2) chunk matmul (the hot stage of the
+# device CRC).  Gather-free and MXU-shaped: bits[M, 2048] @ H[2048, 32]
+# over f32 with a fused parity.  Falls back to the plain XLA dot when
+# Mosaic is unavailable (CPU tests run it in interpret mode — the
+# "sanitizer" validation harness, SURVEY §5.2).
+# ---------------------------------------------------------------------------
+
+_PALLAS_MODE = None  # None = undecided, "tpu", "interpret", "off"
+
+
+def _pallas_mode() -> str:
+    global _PALLAS_MODE
+    if _PALLAS_MODE is None:
+        import os
+
+        knob = os.environ.get("DECOMPRESS_TPU_PALLAS", "auto")
+        if knob == "0":
+            _PALLAS_MODE = "off"
+        elif knob == "interpret":
+            _PALLAS_MODE = "interpret"
+        else:
+            try:
+                plat = jax.devices()[0].platform
+            except Exception:  # pragma: no cover
+                plat = "cpu"
+            _PALLAS_MODE = "tpu" if plat in ("tpu", "axon") else "off"
+    return _PALLAS_MODE
+
+
+def _crc_matmul_pallas(bits_f32: jnp.ndarray, h_f32: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """bits[M, K] @ h[K, 32] (mod 2) on the MXU via Pallas.
+
+    M is padded to a 128-row grid; h is padded to 128 lanes.  The
+    parity fold happens in-kernel so only the 32 register columns
+    round-trip to HBM as int32.
+    """
+    from jax.experimental import pallas as pl
+
+    m, k = bits_f32.shape
+    tm = 128
+    m_pad = -m % tm
+    if m_pad:
+        bits_f32 = jnp.pad(bits_f32, ((0, m_pad), (0, 0)))
+    hp = jnp.pad(h_f32, ((0, 0), (0, 128 - h_f32.shape[1])))
+
+    def kernel(b_ref, h_ref, o_ref):
+        acc = jnp.dot(b_ref[:], h_ref[:], preferred_element_type=jnp.float32)
+        # parity of an exact small integer count (<= K < 2^24 in f32)
+        o_ref[:] = acc - 2.0 * jnp.floor(acc * 0.5)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=((m + m_pad) // tm,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i: (i, 0)),
+            pl.BlockSpec((k, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, 128), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct(((m + m_pad), 128), jnp.float32),
+        interpret=interpret,
+    )(bits_f32, hp)
+    return out[:m, :32].astype(jnp.int32)
+
+
 @jax.jit
 def _crc32_register_padded(data_padded: jnp.ndarray) -> jnp.ndarray:
     """Raw zero-init CRC register of the *back-aligned* padded buffer.
@@ -180,12 +246,19 @@ def _crc32_register_padded(data_padded: jnp.ndarray) -> jnp.ndarray:
     # unpack bits LSB-first: [nchunks, CRC_CHUNK, 8] -> [nchunks, 8*CRC_CHUNK]
     bits = (chunks[:, :, None] >> jnp.arange(8, dtype=jnp.int32)[None, None, :]) & 1
     bits = bits.reshape(nchunks, 8 * CRC_CHUNK)
-    # MXU: GF(2) matmul = integer matmul then parity
-    partial = jax.lax.dot_general(
-        bits.astype(jnp.float32), jnp.asarray(h, dtype=jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32) & 1  # [nchunks, 32] register bits
+    # MXU: GF(2) matmul = integer matmul then parity (Pallas kernel on
+    # TPU, plain XLA dot elsewhere)
+    mode = _pallas_mode()
+    if mode in ("tpu", "interpret"):
+        partial = _crc_matmul_pallas(
+            bits.astype(jnp.float32), jnp.asarray(h, dtype=jnp.float32),
+            interpret=mode == "interpret")
+    else:
+        partial = jax.lax.dot_general(
+            bits.astype(jnp.float32), jnp.asarray(h, dtype=jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32) & 1  # [nchunks, 32] register bits
     # combine tree: fold chunk pairs; left half advanced by the right
     # half's byte count (a per-level constant matrix).
     level = 0

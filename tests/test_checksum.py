@@ -49,3 +49,37 @@ def test_empty_and_all_zero():
     z = bytes(10000)
     assert checksum.crc32(z) == zlib.crc32(z)
     assert checksum.adler32(z) == zlib.adler32(z)
+
+
+def test_pallas_crc_kernel_interpret():
+    """The Pallas MXU GF(2) matmul kernel, run in interpret mode (the
+    kernel sanitizer harness): must agree with the XLA dot path and
+    with the zlib oracle."""
+    import zlib
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from decompress_tpu.ops import checksum as cks
+
+    rng = np.random.default_rng(42)
+    data = rng.integers(0, 256, 3 * cks.CRC_CHUNK * 128, np.uint8)
+    # direct kernel-vs-dot comparison on the same bits
+    h = np.asarray(cks._crc_chunk_matrix(), np.float32)
+    chunks = data.reshape(-1, cks.CRC_CHUNK).astype(np.int32)
+    bits = ((chunks[:, :, None] >> np.arange(8)[None, None, :]) & 1)
+    bits = bits.reshape(chunks.shape[0], -1).astype(np.float32)
+    got = np.asarray(cks._crc_matmul_pallas(jnp.asarray(bits), jnp.asarray(h),
+                                            interpret=True))
+    want = (bits @ h).astype(np.int64) & 1
+    assert (got == want).all()
+
+    # end to end through the register path with the kernel forced on
+    old = cks._PALLAS_MODE
+    cks._PALLAS_MODE = "interpret"
+    try:
+        assert cks.crc32(data) == zlib.crc32(bytes(data))
+        assert cks.crc32(data[: cks.CRC_CHUNK + 7]) == zlib.crc32(
+            bytes(data[: cks.CRC_CHUNK + 7]))
+    finally:
+        cks._PALLAS_MODE = old
