@@ -534,3 +534,32 @@ def test_queue_engine_zl_gz():
     genc = gz.Def(6, engine="queue", filename="q")
     gout = genc.push(data) + genc.finish()
     assert gzip.decompress(gout) == data
+
+
+def test_lz_host_matcher_cross_check():
+    """The standalone host rolling-hash matcher (lz.py) and the device
+    matcher are independent implementations; both must produce command
+    streams that reconstruct byte-exactly and encode to valid DEFLATE."""
+    from decompress_tpu import lz
+
+    data = (b"cross-check the matchers " * 300
+            + bytes(range(256)) * 3 + b"tail tail tail tail")
+    for device in (False, True):
+        q = lz.Queue(1 << 15)
+        lz.compress_into(q, data, device=device)
+        cmds = [int(c) for c in q.as_array()]
+        assert cmds[-1] == de.CMD_EOB
+        assert de.reconstruct(cmds[:-1]) == data
+        stream = de.encode_commands(cmds[:-1])
+        assert zlib.decompressobj(-15).decompress(stream) == data
+    # streaming State protocol
+    st_q = lz.Queue(1 << 15)
+    state = lz.State(st_q)
+    state.src(data[:1000])
+    assert state.compress() == "await"
+    state.src(data[1000:])
+    state.src(b"")
+    while state.compress() != "end":
+        pass
+    cmds = [int(c) for c in st_q.as_array()]
+    assert de.reconstruct(cmds[:-1]) == data
