@@ -64,6 +64,9 @@ class LevelConfig:
     full_ladder: bool = True  # 13-probe length-floor grading (speed knob)
     runs: bool = True    # exact small-distance (RLE) candidates
     top2: bool = False   # descend the two best candidates, pick by length
+    hash3: bool = False  # 3-byte-hash pass for pure len-3 matches
+    # (only worth it with the two-round exact-cost parse: the greedy
+    # parse overpays for len-3 matches on text)
 
 
 #: Per-level candidate depth (de.ml:4021–4049's configuration ladder).
@@ -77,19 +80,19 @@ LEVELS: dict[int, LevelConfig] = {
     4: LevelConfig(8, True, full_ladder=False),
     5: LevelConfig(12, True),
     6: LevelConfig(16, True),
-    7: LevelConfig(24, True, two_round=True, top2=True),
-    8: LevelConfig(32, True, two_round=True, top2=True),
+    7: LevelConfig(24, True, two_round=True, top2=True, hash3=True),
+    8: LevelConfig(32, True, two_round=True, top2=True, hash3=True),
     # level 9 relies on the same fingerprint descent (the verification
     # pass makes it exact regardless); deeper candidate search instead
     # of the 2x-slower linear extension
-    9: LevelConfig(48, True, two_round=True, top2=True),
+    9: LevelConfig(64, True, two_round=True, top2=True, hash3=True),
     # levels 10–12: the reference Ns level table accepts them
     # (de.ml:3929–3943, near_optimal slots; its lazy path is a stub) —
     # here they map onto deeper candidate search, which rank-space
     # probing makes nearly free
-    10: LevelConfig(64, True, two_round=True, top2=True),
-    11: LevelConfig(96, True, two_round=True, top2=True),
-    12: LevelConfig(128, True, two_round=True, top2=True),
+    10: LevelConfig(64, True, two_round=True, top2=True, hash3=True),
+    11: LevelConfig(96, True, two_round=True, top2=True, hash3=True),
+    12: LevelConfig(128, True, two_round=True, top2=True, hash3=True),
     # strategy slots (zlib parity beyond the reference): Z_RLE-style
     # (distance<=4 matches only) and Z_HUFFMAN_ONLY (no matches at all)
     100: LevelConfig(0, False, full_ladder=False),            # rle
@@ -478,6 +481,43 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             better = (len_d > length) | ((len_d == length) & (d < bdist))
             bdist = jnp.where(better, d, bdist)
             length = jnp.where(better, len_d, length)
+
+    if cfg.hash3:
+        # ---- pure length-3 matches via a 3-byte hash (zlib's ins_h
+        # covers exactly MIN_MATCH bytes, so it finds matches whose
+        # 4th byte differs; the 4-byte bucket hash cannot).  The
+        # nearest same-3-byte predecessor is located in rank space
+        # (1 extra sort + 1 probe gather), compared EXACTLY on the low
+        # 24 bits, and used only where the main search found nothing —
+        # the cost-aware parse decides whether a len-3 match beats
+        # three literals.  obj-class binaries are where this matters
+        # (zlib-9 emits ~20x more len-3 matches there than the
+        # 4-byte-hash search can see). ----
+        w3 = w & jnp.uint32(0xFFFFFF)
+        h3 = ((w3 * jnp.uint32(2654435761)) >>
+              jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
+        sh3, sp3 = jax.lax.sort((h3, pos), num_keys=2)
+        w3_s = w3[sp3]
+        sp3_ok = sp3 < valid_hi
+        k3 = 2
+        best3 = jnp.full(t, -1, jnp.int32)
+        for k in range(1, k3 + 1):
+            cand_p = _shift_prev(sp3, k, -1)
+            cand_h = _shift_prev(sh3, k, -1)
+            cand_w = _shift_prev(w3_s, k, jnp.uint32(0))
+            ok3 = (
+                (cand_p >= 0) & (cand_h == sh3) & (cand_w == w3_s)
+                & (sp3 - cand_p <= TOO_FAR)
+                & (cand_p >= valid_lo) & (cand_p < valid_hi) & sp3_ok
+            )
+            best3 = jnp.where(ok3 & (best3 < 0), cand_p, best3)
+        cand3 = (
+            jnp.full(t, -1, jnp.int32).at[sp3].set(best3, unique_indices=True)
+        )[hist:]
+        use3 = (length < MIN_MATCH) & (cand3 >= 0)
+        d3 = pos_pay - cand3
+        length = jnp.where(use3, MIN_MATCH, length)
+        bdist = jnp.where(use3, d3, bdist)
 
     # clamp to data end and legality
     length = jnp.minimum(length, MAX_MATCH)
