@@ -678,32 +678,31 @@ def _get_pack_jit():
         posbits = n01 + n23
         bit0 = jnp.sum(hdr_bits, axis=1, keepdims=True)
         boff = bit0 + jnp.cumsum(posbits, axis=1) - posbits
-        iota = jnp.arange(segl, dtype=jnp.int32)[None, :]
-        big = jnp.int32(1 << 30)
         # fixed-STRIDE command splits (not output-byte quantiles): the
         # lockstep decoder's step count is the MAX command count over
         # rows, so bounding every row at `split_stride` commands keeps
         # lanes balanced across members of any density AND makes the
         # decoder's shape (max_cmds = stride) a compile-time constant.
         # Members with fewer commands simply emit fewer valid triples
-        # (bit offset 0 = unused slot).
-        ncmds = jnp.sum(on_i, axis=1, keepdims=True)
-        sb, sc, so = [], [], []
-        for j in range(1, n_splits):
-            target = j * split_stride
-            cand = jnp.where(on_path & (cmdi >= target) & (target < ncmds),
-                             iota, big)
-            pj = jnp.min(cand, axis=1)
-            valid = pj < big
-            pjc = jnp.minimum(pj, segl - 1)
+        # (bit offset 0 = unused slot).  Exactly ONE on-path position
+        # has cmdi == j*stride (cmdi is the exclusive command count),
+        # so all n_splits-1 boundaries resolve with three scatters
+        # instead of a per-boundary reduction loop.
+        bsz2 = on_path.shape[0]
+        nslots = n_splits - 1
+        jidx = cmdi // split_stride
+        sel = on_path & (cmdi > 0) & (cmdi % split_stride == 0) & (jidx <= nslots)
+        rowi = jnp.arange(bsz2, dtype=jnp.int32)[:, None]
+        slot = jnp.where(sel, rowi * nslots + (jidx - 1), bsz2 * nslots)
 
-            def takej(a, pjc=pjc):
-                return jnp.take_along_axis(a, pjc[:, None], axis=1)[:, 0]
+        def scat(a):
+            return (
+                jnp.zeros(bsz2 * nslots + 1, jnp.int32)
+                .at[slot.ravel()]
+                .max(jnp.where(sel, a, 0).ravel(), mode="drop")
+            )[: bsz2 * nslots].reshape(bsz2, nslots)
 
-            sb.append(jnp.where(valid, takej(boff), 0))
-            sc.append(jnp.where(valid, takej(cmdi), 0))
-            so.append(jnp.where(valid, takej(opos), 0))
-        splits = (jnp.stack(sb, 1), jnp.stack(sc, 1), jnp.stack(so, 1))
+        splits = (scat(boff), scat(cmdi), scat(opos))
         return packed, splits
 
     _PACK_JIT = pack
