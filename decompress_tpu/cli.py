@@ -41,15 +41,16 @@ def main(argv: list[str] | None = None) -> int:
                     choices=["deflate", "zlib", "gzip", "lzo"],
                     help="stream format (default zlib)")
     ap.add_argument("-l", "--level", type=int, default=6,
-                    help="compression level 0-9 (default 6)")
+                    help="compression level 0-12 (default 6; the "
+                         "reference Ns table accepts 0-12)")
     ap.add_argument("--mtime", type=int, default=0, help="gzip MTIME field")
     ap.add_argument("--filename", default=None, help="gzip FNAME field")
     ap.add_argument("input", nargs="?", default=None)
     ap.add_argument("output", nargs="?", default=None)
     args = ap.parse_args(argv)
 
-    if not 0 <= args.level <= 9:
-        ap.error("level must be in 0..9")
+    if not 0 <= args.level <= 12:
+        ap.error("level must be in 0..12")
 
     try:
         data = _read(args.input)

@@ -925,15 +925,31 @@ def _cost_tables_host(hist_lit, hist_dist):
     return lit_cost, dist_cost
 
 
+def analyze2_start(data, n_valid, hist_len, *, level: int, seg_len: int,
+                   window_bits: int = 15, hist: int = HIST):
+    """Dispatch round A asynchronously (no host sync).  Pair with
+    :func:`analyze2_finish`; callers with many batches dispatch all
+    starts first so device work pipelines ahead of the host fetches
+    (the look-ahead the de driver already does for packing)."""
+    return lz77_analyze(data, n_valid, hist_len, level=level,
+                        seg_len=seg_len, window_bits=window_bits, hist=hist)
+
+
 def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
              window_bits: int = 15, hist: int = HIST):
     """Full per-level analysis: round A (greedy+lazy) plus, for
     two_round levels, the cost-aware round-B re-parse; fingerprint
     overestimates retry with the exact-extension candidates, so the
     result is always byte-exact."""
+    res = analyze2_start(data, n_valid, hist_len, level=level,
+                         seg_len=seg_len, window_bits=window_bits, hist=hist)
+    return analyze2_finish(res, data, n_valid, hist_len, level=level,
+                           seg_len=seg_len, window_bits=window_bits, hist=hist)
+
+
+def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
+                    window_bits: int = 15, hist: int = HIST):
     cfg = LEVELS[level]
-    res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len,
-                       window_bits=window_bits, hist=hist)
     if not cfg.exact and not bool(np.asarray(res["exact"]).all()):
         res = lz77_analyze(data, n_valid, hist_len, level=level,
                            seg_len=seg_len, force_exact=True,

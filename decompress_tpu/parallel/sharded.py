@@ -105,9 +105,11 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
     chunk = de.MAX_DEVICE_BATCH * d
     out_words = (9 * member_size) // 32 + 2 * de._HDR_PAD
 
-    # phase A: device analysis (staged when a shared tree needs the
-    # global frequency sums first)
-    staged = []
+    # phase A: device analysis.  All round-A dispatches go out BEFORE
+    # any host fetch, so the device pipelines chunk i+1's analysis
+    # while the host consumes chunk i (no effect through the serial
+    # dev-tunnel used for bring-up; real hardware overlaps).
+    pending = []
     for lo in range(0, m, chunk):
         hi = min(lo + chunk, m)
         b = hi - lo
@@ -122,8 +124,14 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
         d_nv = _shard_batch(cnv, mesh)
         d_hl = _shard_batch(chl, mesh)
 
-        res = lz77.analyze2(d_data, d_nv, d_hl, level=level,
-                            seg_len=member_size, hist=hist)
+        res0 = lz77.analyze2_start(d_data, d_nv, d_hl, level=level,
+                                   seg_len=member_size, hist=hist)
+        pending.append((lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0))
+
+    staged = []
+    for (lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0) in pending:
+        res = lz77.analyze2_finish(res0, d_data, d_nv, d_hl, level=level,
+                                   seg_len=member_size, hist=hist)
         hist_lit = np.asarray(res["hist_lit"])[:b]
         hist_dist = np.asarray(res["hist_dist"])[:b]
         staged.append((lo, hi, b, b_pad, cdata, cnv, d_data, res,
