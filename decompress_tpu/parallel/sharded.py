@@ -326,7 +326,7 @@ def _build_index(m: int, sizes: list, split_rows: list) -> bytes | None:
     return len(xfield).to_bytes(2, "little") + xfield
 
 
-def sharded_gzip_decompress(archive) -> bytes:
+def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
     """Member-parallel decode of an indexed archive (device batch
     inflate); stored members resolve on host; falls back to the serial
     path when the index is absent or a member isn't device-decodable."""
@@ -373,10 +373,10 @@ def sharded_gzip_decompress(archive) -> bytes:
     # ~4x fewer lockstep iterations and a wider batch.  Chunk rows can
     # reference earlier chunks' output, so this path needs the native
     # (in-order, host-side) expansion.
+    use_native = native.available() and expand != "device"
     use_splits = (
         splits is not None
         and len(splits) == len(metas)
-        and native.available()
     )
     if use_splits:
         for i in huff:
@@ -469,7 +469,7 @@ def sharded_gzip_decompress(archive) -> bytes:
         if not bool(np.asarray(ok)[:nrows].all()):
             return gz.decompress(buf)
 
-        if native.available():
+        if use_native:
             # ragged-compact the command stream on device, expand on host
             # (C++): fetches ~sum(ncmds) words instead of running the
             # pointer-jump expansion rounds.  With splits, each member's
@@ -505,9 +505,40 @@ def sharded_gzip_decompress(archive) -> bytes:
                     break
                 results[i] = outbuf[:isize].tobytes()
         else:
-            # device expansion resolves each row independently, so it
-            # requires whole-member rows (use_splits is False here)
-            payload, lengths = inflate_ops.expand_commands(kinds, values, dvals, out_len)
+            # fully-on-device path (device-resident outputs / no native
+            # lib): chunk rows are regrouped into per-MEMBER command
+            # matrices on device (the compacted flat stream is
+            # member-major), then LZ77-expanded and CRC'd on device —
+            # the payload never has to leave the chip
+            if use_splits:
+                packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
+                counted = np.asarray(inflate_ops.command_counts(kinds))
+                ncmds = np.where(stop_counts > 0, stop_counts, counted)
+                total = int(ncmds.sum())
+                flat = inflate_ops.compact_commands(
+                    packed, jnp.asarray(ncmds), _ceil_pow2_int(max(total, 1)))
+                row_starts = np.concatenate([[0], np.cumsum(ncmds)])
+                mstart = np.zeros(m, np.int64)
+                mtotal = np.zeros(m, np.int64)
+                for i in huff:
+                    r0 = first_row[i]
+                    r1 = r0 + 1
+                    while r1 < nrows and rows[r1][0] == i:
+                        r1 += 1
+                    mstart[midx[i]] = row_starts[r0]
+                    mtotal[midx[i]] = row_starts[r1] - row_starts[r0]
+                mc = _ceil_pow2_int(int(mtotal.max()))
+                j = jnp.arange(mc, dtype=jnp.int32)[None, :]
+                idx = jnp.asarray(mstart.astype(np.int32))[:, None] + j
+                mem = jnp.where(
+                    j < jnp.asarray(mtotal.astype(np.int32))[:, None],
+                    flat[jnp.minimum(idx, flat.shape[0] - 1)], 2 << 26)
+                mk = (mem >> 26).astype(jnp.int8)
+                mv = mem & 0x3FF
+                md = (mem >> 10) & 0xFFFF
+            else:
+                mk, mv, md = kinds, values, dvals
+            payload, lengths = inflate_ops.expand_commands(mk, mv, md, out_len)
             lengths = np.asarray(lengths)
 
             from ..ops import checksum as checksum_ops

@@ -141,3 +141,14 @@ def test_archives_identical_across_meshes_with_splits(payload):
     a8 = sharded_gzip_compress(payload, 6, member_size=MEMBER,
                                mesh=sh.make_mesh(8))
     assert a1 == a8
+
+
+def test_device_expansion_with_splits(payload):
+    """expand="device": chunk rows regroup into member command matrices
+    on device and the LZ77 expansion + CRC run fully on device —
+    byte-exact even with the split index active."""
+    from decompress_tpu.parallel import sharded as sh
+
+    arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
+    out = sh.sharded_gzip_decompress(de._np_u8(arch), expand="device")
+    assert out == payload
