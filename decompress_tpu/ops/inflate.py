@@ -249,7 +249,10 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     lrow = row_members * TABLE_SIZE
     drow = row_members * TABLE_SIZE
     u32 = jnp.uint32
-    NW = 8  # window words per step: 31 + 4*48 + 15+5 peek <= 256 bits
+    UNROLL = 8
+    # window words per step: 31 (start offset) + UNROLL*48 (max consumed)
+    # + 28+4 (last dist peek) bits, rounded up to words
+    NW = (31 + UNROLL * 48 + 32 + 31) // 32
 
     def step(carry):
         i, pos, done, bad, cmds = carry
@@ -272,7 +275,7 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
         o = off0
         new_done, new_bad = done, bad
         pos_new = pos
-        for u in range(4):
+        for u in range(UNROLL):
             p = peek32(o)
             e = lit_f[lrow + _rev15(p)]
             kind = e >> 15
@@ -315,11 +318,11 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
             if stop_counts is not None:
                 new_done = new_done | (
                     (stop_counts > 0) & (i + u + 1 >= stop_counts))
-        return i + 4, pos_new, new_done, new_bad, cmds
+        return i + UNROLL, pos_new, new_done, new_bad, cmds
 
     def cond(carry):
         i, _, done, _, _ = carry
-        return (i < max_cmds - 3) & ~jnp.all(done)
+        return (i < max_cmds - (UNROLL - 1)) & ~jnp.all(done)
 
     cmds0 = jnp.full((max_cmds, b), 2 << 26, jnp.int32)
     init = (jnp.int32(0), start_bits.astype(jnp.int32),
