@@ -134,3 +134,42 @@ def test_zlib_preset_dictionary():
         zl.inflate(ours, zdict=b"wrong dictionary")
     with pytest.raises(zl.MalformedError):
         zl.inflate(ours)
+
+
+def test_zlib_streaming_window_carry_multiblock():
+    """BASELINE config 3: a zlib stream whose blocks reference bytes
+    produced by EARLIER blocks (window carry-over) decodes correctly
+    through both our one-shot and streaming decoders."""
+    import zlib as _z
+
+    from decompress_tpu import zl
+    from decompress_tpu.streaming import TOKEN_AWAIT, TOKEN_END, TOKEN_FLUSH
+
+    base = b"carry-over window material " * 200
+    data = base + b"X" * 100 + base  # 2nd copy references across blocks
+    c = _z.compressobj(6, _z.DEFLATED, 15)
+    stream = b""
+    # force multiple blocks with full flushes that keep the window
+    stream += c.compress(data[:3000])
+    stream += c.flush(_z.Z_FULL_FLUSH)  # window kept, block boundary
+    stream += c.compress(data[3000:])
+    stream += c.flush()
+    assert zl.inflate(stream) == data
+
+    inf = zl.Inf(o_size=777)
+    out = bytearray()
+    pos = 0
+    while True:
+        tok = inf.decode()
+        if tok == TOKEN_AWAIT:
+            chunk = stream[pos : pos + 501]
+            pos += len(chunk)
+            inf.src(chunk)
+        elif tok == TOKEN_FLUSH:
+            out += inf.flush()
+        elif tok == TOKEN_END:
+            out += inf.flush()
+            break
+        else:
+            raise AssertionError(inf.error)
+    assert bytes(out) == data

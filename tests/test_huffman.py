@@ -157,3 +157,57 @@ def test_bitwriter_write_packed_unaligned():
             ref.write(int(v), int(n))
         ref.write(0x2A, 7)
         assert w.getvalue() == ref.getvalue(), lead
+
+
+def test_device_table_build_matches_host(small_corpus):
+    """build_fused_tables (device scatter+cummax) must decode every
+    canonical code identically to the host two-level tables, for real
+    dynamic trees from corpus blocks and for randomized trees."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from decompress_tpu.core import huffman, tables
+    from decompress_tpu.ops import inflate as iops
+
+    rng = np.random.default_rng(11)
+
+    def check(lit_lens, dist_lens):
+        ll = np.zeros((1, 288), np.int32)
+        ll[0, : lit_lens.size] = lit_lens
+        dl = np.zeros((1, 32), np.int32)
+        dl[0, : dist_lens.size] = dist_lens
+        lit, dist = iops.build_fused_tables(jnp.asarray(ll), jnp.asarray(dl))
+        lit = np.asarray(lit)[0]
+        codes = huffman.canonical_codes(np.asarray(lit_lens, np.int32))
+        for sym in np.flatnonzero(lit_lens):
+            if sym > 285:
+                continue  # fixed-tree symbols 286/287: deliberately invalid
+            l = int(lit_lens[sym])
+            rev = int(codes[sym])  # bit-reversed (LSB-first) code
+            # forward index = reverse of the l code bits, left-aligned
+            fwd = int(f"{rev:0{l}b}"[::-1], 2) << (15 - l)
+            e = lit[fwd]
+            kind = e >> 15
+            nb = (e >> 11) & 15
+            payload = e & 0xFF
+            assert nb == l, (sym, nb, l)
+            if sym < 256:
+                assert kind == 1 and payload == sym
+            elif sym == 256:
+                assert kind == 3
+            else:
+                assert kind == 2
+                assert payload + 3 == int(tables.LENGTH_BASE[sym - 257])
+
+    # the fixed trees
+    check(tables.FIXED_LIT_LENGTHS, tables.FIXED_DIST_LENGTHS)
+    # randomized valid trees from frequency draws
+    for _ in range(5):
+        freqs = rng.integers(0, 50, 286).astype(np.int64)
+        freqs[256] = max(1, freqs[256])
+        ll = huffman.code_lengths_from_frequencies(freqs)
+        dfreq = rng.integers(0, 20, 30).astype(np.int64)
+        dlns = huffman.code_lengths_from_frequencies(dfreq)
+        dl32 = np.zeros(32, np.int32)
+        dl32[:30] = dlns
+        check(ll, dl32)
