@@ -63,6 +63,9 @@ def main() -> int:
                     help="reference-style per-file table (bench/b.ml parity)")
     ap.add_argument("--levels", default="6",
                     help="comma levels for --table (reference default 1,6,9)")
+    ap.add_argument("--trace", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one compress+"
+                         "decompress cycle into DIR (Perfetto/TensorBoard)")
     args = ap.parse_args()
     if args.table:
         return table_mode(tuple(int(x) for x in args.levels.split(",")))
@@ -76,6 +79,15 @@ def main() -> int:
         sharded_gzip_compress,
         sharded_gzip_decompress,
     )
+
+    if args.trace:
+        from decompress_tpu.utils import profiling
+
+        arch = sharded_gzip_compress(data, args.level)  # warm compiles first
+        with profiling.device_trace(args.trace):
+            arch = sharded_gzip_compress(data, args.level)
+            sharded_gzip_decompress(arch)
+        print(f"# trace written to {args.trace}", file=sys.stderr)
 
     # --- deflate ---
     t0 = time.time()

@@ -27,6 +27,7 @@ import numpy as np
 from .. import de, gz, zl
 from ..core import bitstream
 from ..ops import checksum, lz77
+from ..utils import profiling
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp"):
@@ -124,8 +125,9 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
         d_nv = _shard_batch(cnv, mesh)
         d_hl = _shard_batch(chl, mesh)
 
-        res0 = lz77.analyze2_start(d_data, d_nv, d_hl, level=level,
-                                   seg_len=member_size, hist=hist)
+        with profiling.annotate("lz77_analyze_dispatch"):
+            res0 = lz77.analyze2_start(d_data, d_nv, d_hl, level=level,
+                                       seg_len=member_size, hist=hist)
         pending.append((lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0))
 
     staged = []
@@ -159,11 +161,13 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
             hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=b_pad,
             shared_tree=shared if shared_tree else False,
         )
-        (words, totals), (sp_bits, sp_cmds, sp_outs) = de._pack_segments(
-            res, d_data[:, hist:],
-            *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
-            out_words, n_splits=N_SPLITS, split_stride=SPLIT_STRIDE,
-        )
+        with profiling.annotate("bitpack"):
+            pk = de._pack_segments(
+                res, d_data[:, hist:],
+                *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
+                out_words, n_splits=N_SPLITS, split_stride=SPLIT_STRIDE,
+            )
+        (words, totals), (sp_bits, sp_cmds, sp_outs) = pk
         totals = np.asarray(totals)[:b]
         sp_bits = np.asarray(sp_bits)[:b]
         sp_cmds = np.asarray(sp_cmds)[:b]
@@ -458,14 +462,16 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             stop_counts[row] = stop
             row_members[row] = midx[i]
             first_row.setdefault(i, row)
-        lit_tabs, dist_tabs = inflate_ops.build_fused_tables(
-            jnp.asarray(lit_lens), jnp.asarray(dist_lens))
-        kinds, values, dvals, ok = inflate_ops.decode_symbols(
-            jnp.asarray(mw), jnp.asarray(start_bits), lit_tabs,
-            dist_tabs, max_cmds=max_cmds,
-            stop_counts=jnp.asarray(stop_counts) if use_splits else None,
-            row_members=jnp.asarray(row_members),
-        )
+        with profiling.annotate("build_decode_tables"):
+            lit_tabs, dist_tabs = inflate_ops.build_fused_tables(
+                jnp.asarray(lit_lens), jnp.asarray(dist_lens))
+        with profiling.annotate("decode_symbols"):
+            kinds, values, dvals, ok = inflate_ops.decode_symbols(
+                jnp.asarray(mw), jnp.asarray(start_bits), lit_tabs,
+                dist_tabs, max_cmds=max_cmds,
+                stop_counts=jnp.asarray(stop_counts) if use_splits else None,
+                row_members=jnp.asarray(row_members),
+            )
         if not bool(np.asarray(ok)[:nrows].all()):
             return gz.decompress(buf)
 
