@@ -186,11 +186,7 @@ def _pallas_mode() -> str:
         elif knob == "interpret":
             _PALLAS_MODE = "interpret"
         else:
-            try:
-                plat = jax.devices()[0].platform
-            except Exception:  # pragma: no cover
-                plat = "cpu"
-            _PALLAS_MODE = "tpu" if plat in ("tpu", "axon") else "off"
+            _PALLAS_MODE = "auto"  # per-call: follows the array's device
     return _PALLAS_MODE
 
 
@@ -230,8 +226,26 @@ def _crc_matmul_pallas(bits_f32: jnp.ndarray, h_f32: jnp.ndarray,
     return out[:m, :32].astype(jnp.int32)
 
 
-@jax.jit
 def _crc32_register_padded(data_padded: jnp.ndarray) -> jnp.ndarray:
+    """Dispatch wrapper: picks the Pallas or XLA matmul variant from
+    the ARRAY's actual device (a CPU mesh must not lower Mosaic even
+    when a TPU plugin is also present, e.g. the multichip dryrun)."""
+    mode = _pallas_mode()
+    if mode == "interpret":
+        sel = "interpret"
+    elif mode == "off":
+        sel = "off"
+    else:
+        try:
+            plat = next(iter(data_padded.devices())).platform
+        except Exception:
+            plat = jax.default_backend()
+        sel = "tpu" if plat in ("tpu", "axon") else "off"
+    return _crc32_register_jit(data_padded, sel=sel)
+
+
+@functools.partial(jax.jit, static_argnames=("sel",))
+def _crc32_register_jit(data_padded: jnp.ndarray, sel: str = "off") -> jnp.ndarray:
     """Raw zero-init CRC register of the *back-aligned* padded buffer.
 
     ``data_padded``: uint8[P] with the true message in the LAST bytes
@@ -248,11 +262,10 @@ def _crc32_register_padded(data_padded: jnp.ndarray) -> jnp.ndarray:
     bits = bits.reshape(nchunks, 8 * CRC_CHUNK)
     # MXU: GF(2) matmul = integer matmul then parity (Pallas kernel on
     # TPU, plain XLA dot elsewhere)
-    mode = _pallas_mode()
-    if mode in ("tpu", "interpret"):
+    if sel in ("tpu", "interpret"):
         partial = _crc_matmul_pallas(
             bits.astype(jnp.float32), jnp.asarray(h, dtype=jnp.float32),
-            interpret=mode == "interpret")
+            interpret=sel == "interpret")
     else:
         partial = jax.lax.dot_general(
             bits.astype(jnp.float32), jnp.asarray(h, dtype=jnp.float32),
