@@ -619,39 +619,32 @@ def _get_pack_jit():
     import jax.numpy as jnp
 
     from .ops import bitpack as bitpack_ops
+    from .ops import codes as codes_ops
 
     @functools.partial(jax.jit,
                        static_argnames=("out_words", "n_splits", "split_stride"))
     def pack(on_path, is_match, length, dist, sym_lit, hdr_vals, hdr_bits,
              lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits,
              out_words, n_splits=0, split_stride=2048):
-        lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
-        dmap = jnp.asarray(tables.DIST_CODE_MAP)
-        lbase = jnp.asarray(LENGTH_BASE)
-        lextra = jnp.asarray(LENGTH_EXTRA)
-        dbase = jnp.asarray(DIST_BASE)
-        dextra = jnp.asarray(DIST_EXTRA)
-
-        lcode = lcode_map[jnp.clip(length - MIN_MATCH, 0, 255)]
+        # code indices, extra-bit counts and extra-bit values are all
+        # elementwise arithmetic (ops/codes.py): the only gathers left
+        # are the per-segment canonical-code tables themselves
+        lcode, lex, lval = codes_ops.length_code_parts(length)
         sym = jnp.where(is_match, 257 + lcode, sym_lit.astype(jnp.int32))
-        dsym = jnp.where(
-            dist <= 256,
-            dmap[jnp.clip(dist - 1, 0, 255)],
-            dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
-        )
+        dsym, dex, dval = codes_ops.dist_code_parts(dist)
 
         # merged slots: (lit/len code | length extra) <= 15+5 bits and
         # (dist code | dist extra) <= 15+13 bits — two writes per command
         v0 = jnp.take_along_axis(lit_codes, sym, axis=1).astype(jnp.uint32)
         n0 = jnp.where(on_path, jnp.take_along_axis(lit_bits, sym, axis=1), 0)
-        v1 = (length - lbase[lcode]).astype(jnp.uint32)
-        n1 = jnp.where(is_match, lextra[lcode], 0)
+        v1 = lval.astype(jnp.uint32)
+        n1 = jnp.where(is_match, lex, 0)
         v01 = v0 | (v1 << n0.astype(jnp.uint32))
         n01 = n0 + n1
         v2 = jnp.take_along_axis(dist_codes, dsym, axis=1).astype(jnp.uint32)
         n2 = jnp.where(is_match, jnp.take_along_axis(dist_bits, dsym, axis=1), 0)
-        v3 = (dist - dbase[dsym]).astype(jnp.uint32)
-        n3 = jnp.where(is_match, dextra[dsym], 0)
+        v3 = dval.astype(jnp.uint32)
+        n3 = jnp.where(is_match, dex, 0)
         v23 = v2 | (v3 << n2.astype(jnp.uint32))
         n23 = n2 + n3
 

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import tables
+from . import codes
 
 HIST = 32768          # history prefix per segment (DEFLATE window)
 MIN_MATCH = 3
@@ -235,7 +236,10 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         p3 = pack2(jnp.roll(fp[16], -8), fp[32])[sp]
         p4 = pack2(jnp.roll(fp[16], -32), fp[64])[sp]
         p5 = pack2(jnp.roll(fp[32], -64), fp[128])[sp]
-        p6 = (h16(jnp.roll(fp[64], -128)))[sp]
+        # hi half: bytes [192, 224) — the 224 rung caps the ladder's
+        # top inter-rung gap at 34, so the descent needs no 64-span
+        # (two full-domain gathers saved); lo half: bytes [128, 192)
+        p6 = pack2(jnp.roll(fp[32], -192), jnp.roll(fp[64], -128))[sp]
         extra_probes = (p1, p2, p3, p4, p5, p6)
     else:
         # short ladder (fast levels): exact words + one 16 and one
@@ -310,6 +314,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             eq96 = (((p5_k ^ p5) & hi) == 0) & eq64
             eq128 = (((p5_k ^ p5) & lo) == 0) & eq96
             eq192 = (((p6_k ^ p6) & lo) == 0) & eq128
+            eq224 = (((p6_k ^ p6) & hi) == 0) & eq192
             grade = (
                 jnp.where(ok, plen4, 0)
                 + plen8
@@ -325,6 +330,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
                 + jnp.where(eq96, 32, 0)
                 + jnp.where(eq128, 32, 0)
                 + jnp.where(eq192, 64, 0)
+                + jnp.where(eq224, 32, 0)
             )
         else:
             (f64_k,) = shifted_probes[3:]
@@ -433,12 +439,12 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         # AT THE LADDER FLOOR: rungs never false-negative, so the
         # winner's graded floor is a guaranteed prefix and the next
         # rung a guaranteed ceiling — only the inter-rung gap needs
-        # resolving.  The largest full-ladder gap is 66 (192 -> 258),
-        # so spans stop at 64 (the short fast-level ladder has a
+        # resolving.  The largest full-ladder gap is 34 (224 -> 258),
+        # so spans stop at 32 (the short fast-level ladder has a
         # 64 -> 258 gap and keeps span 128).  Spans 4 and the final
         # refine are exact; larger spans are fingerprints (the exact
         # verification pass backstops collisions, as before).
-        spans = (64, 32, 16, 8, 4) if cfg.full_ladder else (128, 64, 32, 16, 8, 4)
+        spans = (32, 16, 8, 4) if cfg.full_ladder else (128, 64, 32, 16, 8, 4)
 
         def descend(bsafe_d, has_d, btier_d, floor_d):
             length = jnp.where(has_d, floor_d, 0)
@@ -628,8 +634,11 @@ def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n,
     start = jnp.where(is_match, posn, -1)
     cov_start = jax.lax.cummax(start)
     safe_start = jnp.maximum(cov_start, 0)
-    cov_len = length[safe_start]
-    cov_dist = dist[safe_start]
+    # one packed gather for (length, dist): gathered elements are the
+    # unit of cost here (len <= 258 in 9 bits, dist <= 32768 in 16)
+    cov = ((length << 16) | dist)[safe_start]
+    cov_len = cov >> 16
+    cov_dist = cov & 0xFFFF
     covered = (cov_start >= 0) & (posn < safe_start + cov_len) & (posn < n)
     payload = data_u8[hist : hist + seg_len]
     src_idx = jnp.maximum(hist + posn - cov_dist, 0)
@@ -757,19 +766,12 @@ def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
     exact = _verify_matches(seg, on_path, is_match, mlen, mdist, seg_len, n,
                             hist=hist)
 
-    lcode = jnp.asarray(tables.LENGTH_CODE_MAP)[
-        jnp.clip(mlen - MIN_MATCH, 0, 255)
-    ]
+    lcode = codes.length_code(mlen)
     lit = seg[hist:t].astype(jnp.int32)
     sym = jnp.where(is_match, 257 + lcode, lit)
     emit = on_path.astype(jnp.int32)
     hist_lit = jnp.zeros(286, jnp.int32).at[sym].add(emit, mode="drop")
-    dmap = jnp.asarray(tables.DIST_CODE_MAP)
-    dsym = jnp.where(
-        mdist <= 256,
-        dmap[jnp.clip(mdist - 1, 0, 255)],
-        dmap[jnp.clip(256 + ((mdist - 1) >> 7), 0, 511)],
-    )
+    dsym = codes.dist_code(mdist)
     hist_dist = (
         jnp.zeros(30, jnp.int32)
         .at[dsym]
@@ -806,10 +808,6 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
     """
     p = _ceil_pow2(seg_len + MAX_MATCH + 1)
     levels = p.bit_length() - 1
-    lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
-    lextra = jnp.asarray(tables.LENGTH_EXTRA, dtype=jnp.float32)
-    dextra = jnp.asarray(tables.DIST_EXTRA, dtype=jnp.float32)
-    dmap = jnp.asarray(tables.DIST_CODE_MAP)
 
     def one(seg, length, dist, n, lcost, dcost, hl, hot):
         pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
@@ -821,17 +819,16 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
         )
 
         def match_cost(length_, dist_):
-            lcode_ = lcode_map[jnp.clip(length_ - MIN_MATCH, 0, 255)]
-            dsym_ = jnp.where(
-                dist_ <= 256,
-                dmap[jnp.clip(dist_ - 1, 0, 255)],
-                dmap[jnp.clip(256 + ((dist_ - 1) >> 7), 0, 511)],
-            )
+            # code indices AND their extra-bit counts are elementwise
+            # arithmetic (ops/codes.py) — only the per-segment cost
+            # tables are real gathers
+            lcode_, lex_, _ = codes.length_code_parts(length_)
+            dsym_, dex_, _ = codes.dist_code_parts(dist_)
             return (
                 lcost[jnp.clip(257 + lcode_, 0, 285)]
-                + lextra[jnp.clip(lcode_, 0, 28)]
+                + lex_.astype(jnp.float32)
                 + dcost[jnp.clip(dsym_, 0, 29)]
-                + dextra[jnp.clip(dsym_, 0, 29)]
+                + dex_.astype(jnp.float32)
             )
 
         def match_gain(length_, dist_):

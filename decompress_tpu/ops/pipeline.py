@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import huffman, tables
-from . import bitpack, lz77
+from . import bitpack, codes, lz77
 
 
 @functools.cache
@@ -59,12 +59,6 @@ def fixed_deflate_segments(
     )
     lit_code, lit_len, dist_code, dist_len = _fixed_code_arrays()
 
-    lcode_map = jnp.asarray(tables.LENGTH_CODE_MAP)
-    dmap = jnp.asarray(tables.DIST_CODE_MAP)
-    lbase = jnp.asarray(tables.LENGTH_BASE)
-    lextra = jnp.asarray(tables.LENGTH_EXTRA)
-    dbase = jnp.asarray(tables.DIST_BASE)
-    dextra = jnp.asarray(tables.DIST_EXTRA)
     lit_code_j = jnp.asarray(lit_code)
     lit_len_j = jnp.asarray(lit_len)
     dist_code_j = jnp.asarray(dist_code)
@@ -74,21 +68,18 @@ def fixed_deflate_segments(
     length, dist = res["length"], res["dist"]
     sym_lit = data[:, lz77.HIST :].astype(jnp.int32)
 
-    lcode = lcode_map[jnp.clip(length - tables.MIN_MATCH, 0, 255)]
+    # elementwise code arithmetic (ops/codes.py) — no map gathers
+    lcode, lex, lval = codes.length_code_parts(length)
     sym = jnp.where(is_match, 257 + lcode, sym_lit)
-    dsym = jnp.where(
-        dist <= 256,
-        dmap[jnp.clip(dist - 1, 0, 255)],
-        dmap[jnp.clip(256 + ((dist - 1) >> 7), 0, 511)],
-    )
+    dsym, dex, dval = codes.dist_code_parts(dist)
     v0 = lit_code_j[sym].astype(jnp.uint32)
     n0 = jnp.where(on_path, lit_len_j[sym], 0)
-    v1 = (length - lbase[lcode]).astype(jnp.uint32)
-    n1 = jnp.where(is_match, lextra[lcode], 0)
+    v1 = lval.astype(jnp.uint32)
+    n1 = jnp.where(is_match, lex, 0)
     v2 = dist_code_j[dsym].astype(jnp.uint32)
     n2 = jnp.where(is_match, dist_len_j[dsym], 0)
-    v3 = (dist - dbase[dsym]).astype(jnp.uint32)
-    n3 = jnp.where(is_match, dextra[dsym], 0)
+    v3 = dval.astype(jnp.uint32)
+    n3 = jnp.where(is_match, dex, 0)
     v01 = v0 | (v1 << n0.astype(jnp.uint32))
     v23 = v2 | (v3 << n2.astype(jnp.uint32))
 
