@@ -582,8 +582,7 @@ def _finish_batch(w, arr, seg_lo, seg_hi, nseg, level, seg, lz77_ops,
     words, totals = _pack_segments(
         res, d_data[:, lz77_ops.HIST :],
         jnp.asarray(hdr_vals), jnp.asarray(hdr_bits),
-        jnp.asarray(lit_codes), jnp.asarray(lit_bits),
-        jnp.asarray(dist_codes), jnp.asarray(dist_bits),
+        lit_codes, lit_bits, dist_codes, dist_bits,
         jnp.asarray(eob_vals), jnp.asarray(eob_bits),
         out_words,
     )
@@ -634,15 +633,22 @@ def _get_pack_jit():
         dsym, dex, dval = codes_ops.dist_code_parts(dist)
 
         # merged slots: (lit/len code | length extra) <= 15+5 bits and
-        # (dist code | dist extra) <= 15+13 bits — two writes per command
-        v0 = jnp.take_along_axis(lit_codes, sym, axis=1).astype(jnp.uint32)
-        n0 = jnp.where(on_path, jnp.take_along_axis(lit_bits, sym, axis=1), 0)
+        # (dist code | dist extra) <= 15+13 bits — two writes per command.
+        # The per-segment canonical tables are packed (code<<4 | len)
+        # elementwise over their tiny [B, 286]/[B, 30] extent first, so
+        # each slot costs ONE gathered element, not two.
+        lit_cb = (lit_codes.astype(jnp.int32) << 4) | lit_bits
+        dist_cb = (dist_codes.astype(jnp.int32) << 4) | dist_bits
+        cb0 = jnp.take_along_axis(lit_cb, sym, axis=1)
+        v0 = (cb0 >> 4).astype(jnp.uint32)
+        n0 = jnp.where(on_path, cb0 & 15, 0)
         v1 = lval.astype(jnp.uint32)
         n1 = jnp.where(is_match, lex, 0)
         v01 = v0 | (v1 << n0.astype(jnp.uint32))
         n01 = n0 + n1
-        v2 = jnp.take_along_axis(dist_codes, dsym, axis=1).astype(jnp.uint32)
-        n2 = jnp.where(is_match, jnp.take_along_axis(dist_bits, dsym, axis=1), 0)
+        cb2 = jnp.take_along_axis(dist_cb, dsym, axis=1)
+        v2 = (cb2 >> 4).astype(jnp.uint32)
+        n2 = jnp.where(is_match, cb2 & 15, 0)
         v3 = dval.astype(jnp.uint32)
         n3 = jnp.where(is_match, dex, 0)
         v23 = v2 | (v3 << n2.astype(jnp.uint32))
@@ -922,7 +928,7 @@ def deflate_segment_into(w: bitstream.BitWriter, chunk: bytes, hist: bytes,
     words, totals = _pack_segments(
         res, jnp.asarray(data[:, lz77_ops.HIST :].astype(np.int32)),
         jnp.asarray(hdr_vals), jnp.asarray(hdr_bits),
-        *[jnp.asarray(t) for t in tabs], out_words,
+        *tabs, out_words,
     )
     w.write_packed(
         np.frombuffer(np.asarray(words)[0].astype("<u4").tobytes(), np.uint8),

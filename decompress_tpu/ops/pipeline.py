@@ -59,10 +59,9 @@ def fixed_deflate_segments(
     )
     lit_code, lit_len, dist_code, dist_len = _fixed_code_arrays()
 
-    lit_code_j = jnp.asarray(lit_code)
-    lit_len_j = jnp.asarray(lit_len)
-    dist_code_j = jnp.asarray(dist_code)
-    dist_len_j = jnp.asarray(dist_len)
+    # packed (code<<4 | len) fixed tables: one gathered element per slot
+    lit_cb_j = jnp.asarray((lit_code.astype(np.int32) << 4) | lit_len)
+    dist_cb_j = jnp.asarray((dist_code.astype(np.int32) << 4) | dist_len)
 
     on_path, is_match = res["on_path"], res["is_match"]
     length, dist = res["length"], res["dist"]
@@ -72,12 +71,14 @@ def fixed_deflate_segments(
     lcode, lex, lval = codes.length_code_parts(length)
     sym = jnp.where(is_match, 257 + lcode, sym_lit)
     dsym, dex, dval = codes.dist_code_parts(dist)
-    v0 = lit_code_j[sym].astype(jnp.uint32)
-    n0 = jnp.where(on_path, lit_len_j[sym], 0)
+    cb0 = lit_cb_j[sym]
+    v0 = (cb0 >> 4).astype(jnp.uint32)
+    n0 = jnp.where(on_path, cb0 & 15, 0)
     v1 = lval.astype(jnp.uint32)
     n1 = jnp.where(is_match, lex, 0)
-    v2 = dist_code_j[dsym].astype(jnp.uint32)
-    n2 = jnp.where(is_match, dist_len_j[dsym], 0)
+    cb2 = dist_cb_j[dsym]
+    v2 = (cb2 >> 4).astype(jnp.uint32)
+    n2 = jnp.where(is_match, cb2 & 15, 0)
     v3 = dval.astype(jnp.uint32)
     n3 = jnp.where(is_match, dex, 0)
     v01 = v0 | (v1 << n0.astype(jnp.uint32))
