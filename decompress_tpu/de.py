@@ -203,7 +203,14 @@ def stored_cost_bits(n: int, bitpos_in_byte: int) -> int:
 # parse domain (pow2(seg + MAX_MATCH + 1)) stays at 2^17 instead of
 # doubling — the parse costs one gather pass per level per element.
 SEGMENT_SIZE = (1 << 17) - 512
-MAX_DEVICE_BATCH = 8     # segments per device call (memory bound)
+# Segments per device call.  Wider batches amortize the chip's fixed
+# per-gather-op dispatch cost (~1.8 us below ~256 lanes — the parse and
+# probe lax.scans are made of exactly such thin gathers), at the price
+# of proportional HBM footprint and compile time; the env knob exists
+# for on-chip sweeps.
+import os as _os
+
+MAX_DEVICE_BATCH = int(_os.environ.get("DECOMPRESS_TPU_BATCH", "8"))
 _HDR_PAD = 1024          # padded header slots per segment in the pack call
 
 
