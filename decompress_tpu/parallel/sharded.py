@@ -717,7 +717,7 @@ def compress_step_sharded(mesh, data, n_valid, hist_len, bfinal, *, level=6, seg
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from ..ops import pipeline
 
