@@ -1066,6 +1066,22 @@ def inflate_ex(data, *, window: np.ndarray | None = None,
     return _inflate_python(data, window=window, window_bits=window_bits)
 
 
+def _inflate_ex_arr(data, *, window: np.ndarray | None = None,
+                    window_bits: int = 15) -> tuple[np.ndarray, int]:
+    """Like :func:`inflate_ex` but returns the payload as a numpy uint8
+    array (zero-copy from the native decoder) so framing layers can
+    checksum and assemble without materializing intermediate bytes."""
+    try:
+        from . import native
+
+        if native.available():
+            return _inflate_native_arr(_np_u8(data), window, window_bits)
+    except ImportError:  # pragma: no cover
+        pass
+    out, consumed = _inflate_python(data, window=window, window_bits=window_bits)
+    return np.frombuffer(out, dtype=np.uint8), consumed
+
+
 def inflate_into(data, dst: np.ndarray, *, window: np.ndarray | None = None,
                  window_bits: int = 15) -> tuple[int, int]:
     """One-shot inflate into a caller-owned buffer.
@@ -1084,6 +1100,15 @@ def inflate_into(data, dst: np.ndarray, *, window: np.ndarray | None = None,
 
 
 def _inflate_native(buf: np.ndarray, window, window_bits: int = 15) -> tuple[bytes, int]:
+    out, consumed = _inflate_native_arr(buf, window, window_bits)
+    return out.tobytes(), consumed
+
+
+def _inflate_native_arr(buf: np.ndarray, window,
+                        window_bits: int = 15) -> tuple[np.ndarray, int]:
+    """Native one-shot inflate returning a numpy uint8 view (no copy);
+    framing layers checksum/concatenate the array and materialize
+    bytes once at the API boundary."""
     from . import native
 
     inf = native.InflateStream()
@@ -1091,19 +1116,18 @@ def _inflate_native(buf: np.ndarray, window, window_bits: int = 15) -> tuple[byt
         inf.set_window_bits(window_bits)
     if window is not None:
         inf.set_dictionary(bytes(window))
+    if not buf.flags["C_CONTIGUOUS"]:
+        buf = np.ascontiguousarray(buf)
     pos = 0
-    feed_cap = 1 << 22   # bounded copies: O(n), not O(n * flushes)
     # uninitialized output buffer, grown geometrically on FLUSH
     out = np.empty(max(4 * buf.size, 1 << 16), dtype=np.uint8)
     out_pos = 0
     while True:
-        status, consumed, produced = inf.run_into(
-            buf[pos : pos + feed_cap].tobytes(), out, out_pos
-        )
+        status, consumed, produced = inf.run_into(buf[pos:], out, out_pos)
         pos += consumed
         out_pos += produced
         if status == native.InflateStream.END:
-            return out[:out_pos].tobytes(), pos - len(inf.takeback())
+            return out[:out_pos], pos - len(inf.takeback())
         if status == native.InflateStream.MALFORMED:
             raise MalformedError(inf.error)
         if status == native.InflateStream.AWAIT and pos >= buf.size:

@@ -163,7 +163,14 @@ def _read_zero_terminated(buf: np.ndarray, pos: int) -> tuple[str, int]:
 
 def decompress_member(data) -> tuple[bytes, Metadata, int]:
     """Decode one gzip member; returns (payload, metadata, consumed)."""
-    buf = de._np_u8(data)
+    out, meta, used = _decompress_member_arr(de._np_u8(data))
+    return out.tobytes(), meta, used
+
+
+def _decompress_member_arr(buf: np.ndarray) -> tuple[np.ndarray, Metadata, int]:
+    """Member decode keeping the payload as a numpy array: the CRC runs
+    zero-copy over the decoder's buffer and callers assemble/materialize
+    bytes once at the API boundary."""
     if buf.size < 10:
         raise MalformedError("unexpected end of input")
     if buf[0] != 0x1F or buf[1] != 0x8B:
@@ -200,7 +207,7 @@ def decompress_member(data) -> tuple[bytes, Metadata, int]:
         if got != expect:
             raise MalformedError("invalid header crc")
         pos += 2
-    out, consumed = de.inflate_ex(buf[pos:])
+    out, consumed = de._inflate_ex_arr(buf[pos:])
     pos += consumed
     if pos + 8 > buf.size:
         raise MalformedError("unexpected end of input")
@@ -208,7 +215,7 @@ def decompress_member(data) -> tuple[bytes, Metadata, int]:
     isize = int.from_bytes(buf[pos + 4 : pos + 8].tobytes(), "little")
     if checksum.crc32(out) != crc_expect:
         raise MalformedError("invalid checksum")
-    if (len(out) & 0xFFFFFFFF) != isize:
+    if (out.size & 0xFFFFFFFF) != isize:
         raise MalformedError("invalid size")
     return out, meta, pos + 8
 
@@ -216,17 +223,17 @@ def decompress_member(data) -> tuple[bytes, Metadata, int]:
 def decompress(data) -> bytes:
     """Decode a gzip stream, concatenating all members."""
     buf = de._np_u8(data)
-    out = bytearray()
+    parts = []
     pos = 0
-    first = True
     while pos < buf.size:
-        payload, _, used = decompress_member(buf[pos:])
-        out += payload
+        payload, _, used = _decompress_member_arr(buf[pos:])
+        parts.append(payload)
         pos += used
-        first = False
-    if first:
+    if not parts:
         raise MalformedError("unexpected end of input")
-    return bytes(out)
+    if len(parts) == 1:
+        return parts[0].tobytes()
+    return b"".join(memoryview(p) for p in parts)
 
 
 def decompress_ex(data) -> tuple[bytes, Metadata]:

@@ -88,16 +88,43 @@ def _u8(data) -> ctypes.Array:
     return (ctypes.c_uint8 * len(b)).from_buffer_copy(b) if b else (ctypes.c_uint8 * 1)()
 
 
+def _ro_ptr(data):
+    """Zero-copy (ptr, len, owner) view of ``data`` for read-only native
+    calls.  ``owner`` must be kept referenced until the call returns.
+
+    Handles contiguous numpy uint8 arrays and bytes without copying;
+    anything else goes through one ``bytes()`` materialization.
+    """
+    import numpy as np
+
+    if isinstance(data, np.ndarray):
+        if data.dtype != np.uint8 or not data.flags["C_CONTIGUOUS"]:
+            data = np.ascontiguousarray(data, dtype=np.uint8)
+        if data.size == 0:
+            return (ctypes.c_uint8 * 1)(), 0, data
+        ptr = ctypes.cast(data.ctypes.data, ctypes.POINTER(ctypes.c_uint8))
+        return ptr, data.size, data
+    b = data if isinstance(data, bytes) else bytes(data)
+    if not b:
+        return (ctypes.c_uint8 * 1)(), 0, b
+    return (ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_uint8)),
+            len(b), b)
+
+
 def adler32(data, value: int = 1) -> int:
     lib = _load()
-    b = bytes(data)
-    return lib.tpuz_adler32(_u8(b), len(b), value)
+    ptr, n, keep = _ro_ptr(data)
+    res = lib.tpuz_adler32(ptr, n, value)
+    del keep
+    return res
 
 
 def crc32(data, value: int = 0) -> int:
     lib = _load()
-    b = bytes(data)
-    return lib.tpuz_crc32(_u8(b), len(b), value)
+    ptr, n, keep = _ro_ptr(data)
+    res = lib.tpuz_crc32(ptr, n, value)
+    del keep
+    return res
 
 
 def crc32_combine(c1: int, c2: int, len2: int) -> int:
@@ -203,22 +230,20 @@ class InflateStream:
     def error(self) -> str:
         return self._lib.tpuz_inflate_error(self._h).decode()
 
-    def run_into(self, src: bytes, out: "object", out_pos: int) -> tuple[int, int, int]:
+    def run_into(self, src, out: "object", out_pos: int) -> tuple[int, int, int]:
         """Decode into a caller-owned numpy uint8 buffer starting at
-        ``out_pos``; returns (status, consumed, produced).  Avoids the
-        per-call allocation/zeroing/copy of :meth:`run`."""
-        import numpy as np
-
-        src = bytes(src)
-        sptr = ctypes.cast(ctypes.c_char_p(src), ctypes.POINTER(ctypes.c_uint8)) \
-            if src else (ctypes.c_uint8 * 1)()
+        ``out_pos``; returns (status, consumed, produced).  ``src`` may
+        be bytes or a contiguous numpy uint8 array — both are passed
+        zero-copy (no per-call allocation/copy like :meth:`run`)."""
+        sptr, slen, keep = _ro_ptr(src)
         base = out.ctypes.data + out_pos
         dptr = ctypes.cast(base, ctypes.POINTER(ctypes.c_uint8))
         spos = ctypes.c_uint64(0)
         dpos = ctypes.c_uint64(0)
         status = self._lib.tpuz_inflate_run(
-            self._h, sptr, len(src), ctypes.byref(spos), dptr,
+            self._h, sptr, slen, ctypes.byref(spos), dptr,
             out.size - out_pos, ctypes.byref(dpos))
+        del keep
         return status, spos.value, dpos.value
 
     def run(self, src: bytes, dst_cap: int) -> tuple[int, int, bytes]:

@@ -516,6 +516,16 @@ struct TpuzInflate {
   uint64_t total_out;
   uint32_t win_limit;  // negotiated window (zl.ml:247-280: allocate (cinfo+8))
   const char* err;
+  // fused decode tables for the bulk loop: one 32-bit entry carries the
+  // whole command arithmetic (code bits, extra-bit count, length/dist
+  // base or literal byte), so a symbol resolves with a single load and
+  // no base/extra side lookups.  Layout:
+  //   bits 0..3   code bits
+  //   bits 4..7   extra bits (length/dist) or sub-bits (link)
+  //   bits 8..23  payload: literal byte / length base / dist base / link offset
+  //   bit 31 literal|dist, bit 30 length, bit 29 EOB, bit 28 link; 0 invalid
+  uint32_t flit[1 << 12];
+  uint32_t fdist[1 << 12];
 };
 
 TpuzInflate* tpuz_inflate_new() {
@@ -564,6 +574,44 @@ int tpuz_inflate_set_dictionary(TpuzInflate* s, const uint8_t* dict, uint32_t le
   return 0;
 }
 
+#define FL_LIT (1u << 31)   // litlen table: literal / dist table: valid dist
+#define FL_LEN (1u << 30)
+#define FL_EOB (1u << 29)
+#define FL_LINK (1u << 28)
+
+// Re-pack the two-level tables into the fused form above.  Entry
+// semantics are position-independent (links are offsets into the same
+// array), so a flat elementwise pass over both 4 Ki tables suffices.
+static void fuse_tables(TpuzInflate* s) {
+  for (int i = 0; i < (1 << 12); i++) {
+    int32_t e = s->lit.table[i];
+    uint32_t f = 0;
+    if (E_FLAGS(e) == F_SYMBOL) {
+      uint32_t v = E_VALUE(e), nb = E_NBITS(e);
+      if (v < 256) f = FL_LIT | (v << 8) | nb;
+      else if (v == 256) f = FL_EOB | nb;
+      else if (v <= 285)
+        f = FL_LEN | ((uint32_t)LEN_BASE[v - 257] << 8) |
+            ((uint32_t)LEN_EXTRA[v - 257] << 4) | nb;
+      // 286/287: leave invalid (fixed tree reserves them)
+    } else if (E_FLAGS(e) == F_LINK) {
+      f = FL_LINK | ((uint32_t)E_VALUE(e) << 8) | ((uint32_t)E_NBITS(e) << 4);
+    }
+    s->flit[i] = f;
+    e = s->dist.table[i];
+    f = 0;
+    if (E_FLAGS(e) == F_SYMBOL) {
+      uint32_t v = E_VALUE(e), nb = E_NBITS(e);
+      if (v <= 29)
+        f = FL_LIT | ((uint32_t)DIST_BASE[v] << 8) |
+            ((uint32_t)DIST_EXTRA[v] << 4) | nb;
+    } else if (E_FLAGS(e) == F_LINK) {
+      f = FL_LINK | ((uint32_t)E_VALUE(e) << 8) | ((uint32_t)E_NBITS(e) << 4);
+    }
+    s->fdist[i] = f;
+  }
+}
+
 static void build_fixed(TpuzInflate* s) {
   uint8_t lens[288];
   for (int i = 0; i < 144; i++) lens[i] = 8;
@@ -574,6 +622,7 @@ static void build_fixed(TpuzInflate* s) {
   uint8_t dl[32];
   for (int i = 0; i < 32; i++) dl[i] = 5;
   huff_build(&s->dist, dl, 32, 8, 0);
+  fuse_tables(s);
 }
 
 int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
@@ -724,6 +773,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
           BAD("invalid dictionary");
         if (huff_build(&s->dist, s->lens + s->hlit, s->hdist, 8, 1) != 0)
           BAD("invalid dictionary");
+        fuse_tables(s);
         s->mode = M_SYM;
         break;
       }
@@ -751,57 +801,70 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
               }
             }
           }
-          if (bits < 48 || dst_cap - dp < 260) break;
-          int32_t e = s->lit.table[hold & ((1 << 10) - 1)];
-          if (E_FLAGS(e) == F_LINK)
-            e = s->lit.table[E_VALUE(e) + ((hold >> 10) & ((1u << E_NBITS(e)) - 1))];
-          if (E_FLAGS(e) != F_SYMBOL) BAD("invalid literal/length");
-          int sym = E_VALUE(e);
-          DROPBITS(E_NBITS(e));
-          if (sym < 256) {
+          // 280 bytes of dst slack: the longest copy is 258 bytes and
+          // the chunked copies below overshoot by up to 7.
+          if (bits < 48 || dst_cap - dp < 280) break;
+          uint32_t e = s->flit[hold & ((1 << 10) - 1)];
+          if (e & FL_LINK)
+            e = s->flit[((e >> 8) & 0xffff) +
+                        ((hold >> 10) & ((1u << ((e >> 4) & 15)) - 1))];
+          if ((int32_t)e < 0) {
             // literal chain: >=48 bits at entry leave >=33 after one
             // 15-bit code, so two more root-resolved literals always
             // have their bits buffered (root peek 10, code <= 15)
-            dst[dp++] = (uint8_t)sym;
-            e = s->lit.table[hold & ((1 << 10) - 1)];
-            if (E_FLAGS(e) == F_SYMBOL && (sym = E_VALUE(e)) < 256) {
-              DROPBITS(E_NBITS(e));
-              dst[dp++] = (uint8_t)sym;
-              e = s->lit.table[hold & ((1 << 10) - 1)];
-              if (E_FLAGS(e) == F_SYMBOL && (sym = E_VALUE(e)) < 256) {
-                DROPBITS(E_NBITS(e));
-                dst[dp++] = (uint8_t)sym;
+            DROPBITS(e & 15);
+            dst[dp++] = (uint8_t)(e >> 8);
+            e = s->flit[hold & ((1 << 10) - 1)];
+            if ((int32_t)e < 0) {
+              DROPBITS(e & 15);
+              dst[dp++] = (uint8_t)(e >> 8);
+              e = s->flit[hold & ((1 << 10) - 1)];
+              if ((int32_t)e < 0) {
+                DROPBITS(e & 15);
+                dst[dp++] = (uint8_t)(e >> 8);
               }
             }
             continue;
           }
-          if (sym == 256) { s->mode = s->final_block ? M_DONE : M_HEAD; goto sym_done; }
-          if (sym > 285) BAD("invalid literal/length");
-          {
-            int ls = sym - 257;
-            int leb = LEN_EXTRA[ls];
-            uint32_t len = LEN_BASE[ls] + (uint32_t)(hold & ((1u << leb) - 1));
-            DROPBITS(leb);
-            int32_t de_ = s->dist.table[hold & ((1 << 8) - 1)];
-            if (E_FLAGS(de_) == F_LINK)
-              de_ = s->dist.table[E_VALUE(de_) + ((hold >> 8) & ((1u << E_NBITS(de_)) - 1))];
-            if (E_FLAGS(de_) != F_SYMBOL || E_VALUE(de_) > 29) BAD("invalid distance code");
-            int ds = E_VALUE(de_);
-            DROPBITS(E_NBITS(de_));
-            int deb = DIST_EXTRA[ds];
-            uint32_t dist = DIST_BASE[ds] + (uint32_t)(hold & ((1u << deb) - 1));
-            DROPBITS(deb);
+          if (e & FL_LEN) {
+            // the extra bits sit just above the code bits in the hold;
+            // one shift extracts them, one combined drop retires both
+            uint32_t cb = e & 15, eb = (e >> 4) & 15;
+            uint32_t len = ((e >> 8) & 0x1ff) +
+                           (uint32_t)((hold >> cb) & ((1u << eb) - 1));
+            DROPBITS(cb + eb);
+            uint32_t d = s->fdist[hold & ((1 << 8) - 1)];
+            if (d & FL_LINK)
+              d = s->fdist[((d >> 8) & 0xffff) +
+                           ((hold >> 8) & ((1u << ((d >> 4) & 15)) - 1))];
+            if (!(d & FL_LIT)) BAD("invalid distance code");
+            uint32_t dcb = d & 15, deb = (d >> 4) & 15;
+            uint32_t dist = ((d >> 8) & 0xffff) +
+                            (uint32_t)((hold >> dcb) & ((1u << deb) - 1));
+            DROPBITS(dcb + deb);
             if (dist > TOUT || dist > s->win_limit) BAD("invalid distance");
             uint64_t produced = dp - dp_entry;
             if (dist <= produced) {
-              const uint8_t* srcp = dst + dp - dist;
               uint8_t* dstp = dst + dp;
-              if (dist >= 8) {
-                uint32_t k = 0;
-                for (; k + 8 <= len; k += 8) memcpy(dstp + k, srcp + k, 8);
-                for (; k < len; k++) dstp[k] = srcp[k];
+              if (dist >= 16) {
+                // non-overlapping 16-byte chunks; overshoot < 16 is
+                // covered by the 280-byte slack and overwritten later
+                const uint8_t* srcp = dstp - dist;
+                for (uint32_t k = 0; k < len; k += 16)
+                  memcpy(dstp + k, srcp + k, 16);
+              } else if (dist >= 8) {
+                const uint8_t* srcp = dstp - dist;
+                for (uint32_t k = 0; k < len; k += 8)
+                  memcpy(dstp + k, srcp + k, 8);
               } else {
-                for (uint32_t k = 0; k < len; k++) dstp[k] = srcp[k];
+                // short period: seed 8 pattern bytes, then step by the
+                // largest multiple of dist that fits one 8-byte chunk
+                // (the chunk's tail garbage is re-written next step)
+                uint32_t d8 = (8 / dist) * dist;
+                uint32_t k = 0, seed = len < 8 ? len : 8;
+                for (; k < seed; k++) dstp[k] = dstp[(int64_t)k - dist];
+                for (; k + 8 <= len; k += d8) memcpy(dstp + k, dstp + k - d8, 8);
+                for (; k < len; k++) dstp[k] = dstp[(int64_t)k - dist];
               }
               dp += len;
             } else {
@@ -812,7 +875,14 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
                 OUTBYTE(b);
               }
             }
+            continue;
           }
+          if (e & FL_EOB) {
+            DROPBITS(e & 15);
+            s->mode = s->final_block ? M_DONE : M_HEAD;
+            goto sym_done;
+          }
+          BAD("invalid literal/length");
         }
         // ---- careful path: suspendable at every read/write ----
         for (;;) {

@@ -93,8 +93,10 @@ def inflate_ex(data, *, zdict: bytes | None = None) -> tuple[bytes, int]:
         zd = de._np_u8(zdict)
         window = zd[-min(zd.size, 32768):]
         hdr = 6
-    out, consumed = de.inflate_ex(buf[hdr:], window=window,
-                                  window_bits=(cmf >> 4) + 8)
+    # array path: the Adler runs zero-copy over the decoder's buffer
+    # and bytes materialize once on return
+    out, consumed = de._inflate_ex_arr(buf[hdr:], window=window,
+                                       window_bits=(cmf >> 4) + 8)
     tail = buf[hdr + consumed :]
     if tail.size < 4:
         raise MalformedError("unexpected end of input")
@@ -102,7 +104,7 @@ def inflate_ex(data, *, zdict: bytes | None = None) -> tuple[bytes, int]:
     got = checksum.adler32(out)
     if got != expect:
         raise MalformedError("invalid checksum")
-    return out, hdr + consumed + 4
+    return out.tobytes(), hdr + consumed + 4
 
 
 # camlzip-style conveniences (Zl.Higher parity, zl.ml:633–667)
