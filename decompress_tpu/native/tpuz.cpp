@@ -16,6 +16,10 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define TPUZ_X86 1
+#endif
 
 extern "C" {
 
@@ -25,7 +29,7 @@ extern "C" {
 
 static const uint32_t ADLER_MOD = 65521;
 
-uint32_t tpuz_adler32(const uint8_t* p, uint64_t n, uint32_t prev) {
+static uint32_t adler32_scalar(const uint8_t* p, uint64_t n, uint32_t prev) {
   uint32_t s1 = prev & 0xffff, s2 = (prev >> 16) & 0xffff;
   while (n > 0) {
     uint64_t chunk = n > 5552 ? 5552 : n;  // max before 32-bit overflow
@@ -38,6 +42,76 @@ uint32_t tpuz_adler32(const uint8_t* p, uint64_t n, uint32_t prev) {
     s2 %= ADLER_MOD;
   }
   return (s2 << 16) | s1;
+}
+
+#ifdef TPUZ_X86
+// AVX2 Adler-32: 32 bytes per step.  Per block i (s1_i = s1 before it):
+//   s1 += sum(b);  s2 += 32*s1_i + sum_j (32-j)*b_j
+// so across a group: s2 += 32*(B*s1 + sum_i presum_i) + weighted, with
+// presums tracked by adding the running byte-sum vector before each
+// block.  Group size keeps every u32 lane clear of overflow; the final
+// combine runs in u64.
+__attribute__((target("avx2")))
+static uint32_t adler32_avx2(const uint8_t* p, uint64_t n, uint32_t prev) {
+  uint64_t s1 = prev & 0xffff, s2 = (prev >> 16) & 0xffff;
+  const __m256i zero = _mm256_setzero_si256();
+  const __m256i wts = _mm256_setr_epi8(
+      32, 31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17,
+      16, 15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1);
+  const __m256i ones16 = _mm256_set1_epi16(1);
+  while (n >= 32) {
+    uint64_t blocks = n / 32;
+    if (blocks > 173) blocks = 173;  // 173*32 = 5536 bytes per mod round
+    n -= blocks * 32;
+    uint64_t nb = blocks;
+    __m256i vps = zero, vs1 = zero, vs2 = zero;
+    for (; nb--; p += 32) {
+      __m256i c = _mm256_loadu_si256((const __m256i*)p);
+      vps = _mm256_add_epi32(vps, vs1);
+      vs1 = _mm256_add_epi32(vs1, _mm256_sad_epu8(c, zero));
+      __m256i m = _mm256_maddubs_epi16(c, wts);
+      vs2 = _mm256_add_epi32(vs2, _mm256_madd_epi16(m, ones16));
+    }
+    uint32_t lane[8];
+    uint64_t h1 = 0, h2 = 0, hp = 0;
+    _mm256_storeu_si256((__m256i*)lane, vs1);
+    for (int i = 0; i < 8; i++) h1 += lane[i];
+    _mm256_storeu_si256((__m256i*)lane, vs2);
+    for (int i = 0; i < 8; i++) h2 += lane[i];
+    _mm256_storeu_si256((__m256i*)lane, vps);
+    for (int i = 0; i < 8; i++) hp += lane[i];
+    s2 = (s2 + 32 * (blocks * s1 + hp) + h2) % ADLER_MOD;
+    s1 = (s1 + h1) % ADLER_MOD;
+  }
+  if (n)
+    return adler32_scalar(p, n, (uint32_t)((s2 << 16) | s1));
+  return (uint32_t)((s2 << 16) | s1);
+}
+
+static int adler_avx2_usable() {
+  static int usable = -1;
+  if (usable < 0) {
+    usable = 0;
+    if (__builtin_cpu_supports("avx2")) {
+      uint8_t buf[301];
+      uint32_t x = 0x87654321u;
+      for (int i = 0; i < 301; i++) {
+        x = x * 1103515245u + 12345u;
+        buf[i] = (uint8_t)(x >> 16);
+      }
+      usable = adler32_avx2(buf, 301, 0xABCD1234u) ==
+               adler32_scalar(buf, 301, 0xABCD1234u);
+    }
+  }
+  return usable;
+}
+#endif  // TPUZ_X86
+
+uint32_t tpuz_adler32(const uint8_t* p, uint64_t n, uint32_t prev) {
+#ifdef TPUZ_X86
+  if (n >= 64 && adler_avx2_usable()) return adler32_avx2(p, n, prev);
+#endif
+  return adler32_scalar(p, n, prev);
 }
 
 static uint32_t crc_table[8][256];
@@ -56,7 +130,7 @@ static void crc_init() {
   crc_init_done = true;
 }
 
-uint32_t tpuz_crc32(const uint8_t* p, uint64_t n, uint32_t prev) {
+static uint32_t crc32_slice8(const uint8_t* p, uint64_t n, uint32_t prev) {
   crc_init();
   uint32_t c = ~prev;
   while (n >= 8) {
@@ -73,6 +147,109 @@ uint32_t tpuz_crc32(const uint8_t* p, uint64_t n, uint32_t prev) {
   }
   while (n--) c = (c >> 8) ^ crc_table[0][(c ^ *p++) & 0xff];
   return ~c;
+}
+
+#ifdef TPUZ_X86
+// ---- PCLMULQDQ-folded CRC-32 ----------------------------------------
+// Classic 4-accumulator carryless folding (the reflected variant of the
+// well-known Intel technique).  All constants are DERIVED at init from
+// x^n mod P, so nothing is transcribed: the stored-form identity used is
+//   clmul(R_64(a), R_33(m)) = R_128(a*m) >> 32 = R_128(a * m * x^32)
+// hence folding by x^S uses m = x^(S+64-32) (high qword) and
+// m = x^(S-32) (low qword).  A one-time self-check against the table
+// path guards the whole construction (falls back on any mismatch or
+// missing CPU support).
+
+// x^n mod P in normal bit order (bit i = coeff of x^i), P = x^32 + 0x04C11DB7
+static uint32_t xn_mod_p(uint64_t n) {
+  uint32_t r = 1;
+  for (uint64_t i = 0; i < n; i++) {
+    uint32_t hi = r & 0x80000000u;
+    r <<= 1;
+    if (hi) r ^= 0x04C11DB7u;
+  }
+  return r;
+}
+
+// folding constant: R_33(x^n mod P) as a 64-bit clmul operand
+static uint64_t crc_k(uint64_t n) {
+  uint32_t v = xn_mod_p(n), r = 0;
+  for (int i = 0; i < 32; i++) { r = (r << 1) | (v & 1); v >>= 1; }
+  return (uint64_t)r << 1;
+}
+
+// raw reflected register update, no pre/post inversion: feeding the
+// STORED bytes of a folded accumulator through this with reg=0 performs
+// the final (a * x^32) mod P reduction exactly.
+static uint32_t crc_raw_update(uint32_t reg, const uint8_t* p, uint64_t n) {
+  while (n--) reg = (reg >> 8) ^ crc_table[0][(reg ^ *p++) & 0xff];
+  return reg;
+}
+
+__attribute__((target("pclmul,sse4.1")))
+static inline __m128i crc_fold(__m128i acc, __m128i k) {
+  return _mm_xor_si128(_mm_clmulepi64_si128(acc, k, 0x00),
+                       _mm_clmulepi64_si128(acc, k, 0x11));
+}
+
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t crc32_clmul(const uint8_t* p, uint64_t n, uint32_t prev) {
+  static const __m128i k512 = _mm_set_epi64x((long long)crc_k(480),
+                                             (long long)crc_k(544));
+  static const __m128i k128 = _mm_set_epi64x((long long)crc_k(96),
+                                             (long long)crc_k(160));
+  __m128i a0 = _mm_loadu_si128((const __m128i*)(p + 0));
+  __m128i a1 = _mm_loadu_si128((const __m128i*)(p + 16));
+  __m128i a2 = _mm_loadu_si128((const __m128i*)(p + 32));
+  __m128i a3 = _mm_loadu_si128((const __m128i*)(p + 48));
+  a0 = _mm_xor_si128(a0, _mm_cvtsi32_si128((int)~prev));
+  p += 64; n -= 64;
+  while (n >= 64) {
+    a0 = _mm_xor_si128(crc_fold(a0, k512), _mm_loadu_si128((const __m128i*)(p + 0)));
+    a1 = _mm_xor_si128(crc_fold(a1, k512), _mm_loadu_si128((const __m128i*)(p + 16)));
+    a2 = _mm_xor_si128(crc_fold(a2, k512), _mm_loadu_si128((const __m128i*)(p + 32)));
+    a3 = _mm_xor_si128(crc_fold(a3, k512), _mm_loadu_si128((const __m128i*)(p + 48)));
+    p += 64; n -= 64;
+  }
+  __m128i a = _mm_xor_si128(crc_fold(a0, k128), a1);
+  a = _mm_xor_si128(crc_fold(a, k128), a2);
+  a = _mm_xor_si128(crc_fold(a, k128), a3);
+  while (n >= 16) {
+    a = _mm_xor_si128(crc_fold(a, k128), _mm_loadu_si128((const __m128i*)p));
+    p += 16; n -= 16;
+  }
+  uint8_t accb[16];
+  _mm_storeu_si128((__m128i*)accb, a);
+  uint32_t reg = crc_raw_update(0, accb, 16);
+  reg = crc_raw_update(reg, p, n);
+  return ~reg;
+}
+
+static int crc_clmul_usable() {
+  static int usable = -1;
+  if (usable < 0) {
+    usable = 0;
+    if (__builtin_cpu_supports("pclmul") && __builtin_cpu_supports("sse4.1")) {
+      crc_init();
+      uint8_t buf[257];
+      uint32_t x = 0x12345678u;
+      for (int i = 0; i < 257; i++) {
+        x = x * 1103515245u + 12345u;
+        buf[i] = (uint8_t)(x >> 16);
+      }
+      usable = crc32_clmul(buf, 257, 0xDEADBEEFu) ==
+               crc32_slice8(buf, 257, 0xDEADBEEFu);
+    }
+  }
+  return usable;
+}
+#endif  // TPUZ_X86
+
+uint32_t tpuz_crc32(const uint8_t* p, uint64_t n, uint32_t prev) {
+#ifdef TPUZ_X86
+  if (n >= 64 && crc_clmul_usable()) return crc32_clmul(p, n, prev);
+#endif
+  return crc32_slice8(p, n, prev);
 }
 
 // GF(2) 32x32 matrix ops for crc32_combine (zlib algebra, re-derived).
