@@ -19,11 +19,15 @@ _LOAD_ERR: str | None = None
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-Wall", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)],
-        check=True,
-        capture_output=True,
-    )
+    # -march=native: the lib is built on import for the host it runs on
+    # (the .so is never shipped), so BMI2 variable shifts etc. are safe;
+    # retried portably in case the toolchain rejects it.
+    base = ["g++", "-O3", "-Wall", "-shared", "-fPIC", str(_SRC), "-o", str(_SO)]
+    try:
+        subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def _load():

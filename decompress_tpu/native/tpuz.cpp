@@ -982,7 +982,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
           // the chunked copies below overshoot by up to 7.
           if (bits < 48 || dst_cap - dp < 280) break;
           uint32_t e = s->flit[hold & ((1 << 10) - 1)];
-          if (e & FL_LINK)
+          if (__builtin_expect(e & FL_LINK, 0))
             e = s->flit[((e >> 8) & 0xffff) +
                         ((hold >> 10) & ((1u << ((e >> 4) & 15)) - 1))];
           if ((int32_t)e < 0) {
@@ -999,6 +999,18 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
               if ((int32_t)e < 0) {
                 DROPBITS(e & 15);
                 dst[dp++] = (uint8_t)(e >> 8);
+                // typical literal codes are 8–9 bits, so two more often
+                // still fit the refill; guard each with a bits check
+                e = s->flit[hold & ((1 << 10) - 1)];
+                if ((int32_t)e < 0 && (int)(e & 15) <= bits) {
+                  DROPBITS(e & 15);
+                  dst[dp++] = (uint8_t)(e >> 8);
+                  e = s->flit[hold & ((1 << 10) - 1)];
+                  if ((int32_t)e < 0 && (int)(e & 15) <= bits) {
+                    DROPBITS(e & 15);
+                    dst[dp++] = (uint8_t)(e >> 8);
+                  }
+                }
               }
             }
             continue;
@@ -1011,17 +1023,18 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
                            (uint32_t)((hold >> cb) & ((1u << eb) - 1));
             DROPBITS(cb + eb);
             uint32_t d = s->fdist[hold & ((1 << 8) - 1)];
-            if (d & FL_LINK)
+            if (__builtin_expect(d & FL_LINK, 0))
               d = s->fdist[((d >> 8) & 0xffff) +
                            ((hold >> 8) & ((1u << ((d >> 4) & 15)) - 1))];
-            if (!(d & FL_LIT)) BAD("invalid distance code");
+            if (__builtin_expect(!(d & FL_LIT), 0)) BAD("invalid distance code");
             uint32_t dcb = d & 15, deb = (d >> 4) & 15;
             uint32_t dist = ((d >> 8) & 0xffff) +
                             (uint32_t)((hold >> dcb) & ((1u << deb) - 1));
             DROPBITS(dcb + deb);
-            if (dist > TOUT || dist > s->win_limit) BAD("invalid distance");
+            if (__builtin_expect(dist > s->win_limit, 0)) BAD("invalid distance");
             uint64_t produced = dp - dp_entry;
             if (dist <= produced) {
+              // dist <= produced <= TOUT, so no history-range check needed
               uint8_t* dstp = dst + dp;
               if (dist >= 16) {
                 // non-overlapping 16-byte chunks; overshoot < 16 is
@@ -1045,6 +1058,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
               }
               dp += len;
             } else {
+              if (dist > TOUT) BAD("invalid distance");
               for (uint32_t k = 0; k < len; k++) {
                 uint8_t b = (dist <= (uint64_t)(dp - dp_entry))
                     ? dst[dp - dist]
