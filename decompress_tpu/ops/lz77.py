@@ -538,7 +538,11 @@ def _mark_path(g: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Positions visited by iterating the strictly increasing jump ``g``
     from 0: gather-only exit/entry tables over 2^k blocks.
 
-    g: int32[P] with P = 2^levels, i < g[i] < P.  Returns bool[P].
+    g: int32[P] with P = 2^levels, i < g[i] <= P.  Returns bool[P].
+    The value P ("walked off the end") is a natural fixed point of every
+    pass (every gather is index-clamped behind a >=-block-end guard), so
+    the domain only needs to cover the positions themselves, not the
+    maximum jump overshoot.
     """
     p = g.shape[0]
     idx = jnp.arange(p, dtype=jnp.int32)
@@ -628,18 +632,27 @@ def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n,
 
     Interval trick: matches never overlap (the parse is a partition),
     so the covering match of payload position j is the one whose start
-    is the running maximum of match starts at or before j.
+    is the running maximum of match starts at or before j.  The match's
+    (length, dist) ride along INSIDE the cummax words (start in the
+    high bits dominates the ordering), so no full-domain gather is
+    needed to fetch them — only the one unavoidable source-byte gather.
     """
+    assert seg_len <= 1 << 17, "verify packing assumes seg_len <= 128 KiB"
     posn = jnp.arange(seg_len, dtype=jnp.int32)
-    start = jnp.where(is_match, posn, -1)
-    cov_start = jax.lax.cummax(start)
-    safe_start = jnp.maximum(cov_start, 0)
-    # one packed gather for (length, dist): gathered elements are the
-    # unit of cost here (len <= 258 in 9 bits, dist <= 32768 in 16)
-    cov = ((length << 16) | dist)[safe_start]
-    cov_len = cov >> 16
-    cov_dist = cov & 0xFFFF
-    covered = (cov_start >= 0) & (posn < safe_start + cov_len) & (posn < n)
+    # (start+1) << 9 | length fits uint32 for seg_len <= 2^17 (start+1
+    # <= 2^17, length <= 258 < 2^9); zero means "no match yet".
+    c1 = jax.lax.cummax(
+        jnp.where(is_match, ((posn + 1) << 9) | length, 0).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    cov_start = (c1 >> 9) - 1
+    cov_len = c1 & 0x1FF
+    # start << 15 | (dist-1): same running-max selection (start
+    # dominates); dist-1 <= 32767 in 15 bits keeps start's 17 bits.
+    c2 = jax.lax.cummax(
+        jnp.where(is_match, (posn << 15) | (dist - 1), 0).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    cov_dist = (c2 & 0x7FFF) + 1
+    covered = (c1 > 0) & (posn < cov_start + cov_len) & (posn < n)
     payload = data_u8[hist : hist + seg_len]
     src_idx = jnp.maximum(hist + posn - cov_dist, 0)
     eq = payload == data_u8[src_idx]
@@ -691,7 +704,7 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
 
         cfg = dataclasses.replace(cfg, exact=True)
     t = hist + seg_len
-    p = _ceil_pow2(seg_len + MAX_MATCH + 1)
+    p = _ceil_pow2(seg_len)
     levels = p.bit_length() - 1
 
     def one(seg, n, hl):
@@ -744,12 +757,16 @@ def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
     t = hist + seg_len
     pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
 
-    # parse over the payload-only domain [0, P)
+    # parse over the payload-only domain [0, P).  Jump values may reach
+    # P ("walked off the end") — match lengths are clamped to the valid
+    # payload upstream, so no target exceeds seg_len and the domain
+    # needs no MAX_MATCH overshoot padding (P = 2^17, not 2^18, for the
+    # production 128 KiB segments: half the full-domain gather volume).
     ppos = jnp.arange(p, dtype=jnp.int32)
-    g = jnp.minimum(ppos + 1, p - 1)
+    g = jnp.minimum(ppos + 1, p)
     step = jnp.where(take, plen, 1)
     g = g.at[:seg_len].set(
-        jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p - 1)
+        jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p)
     )
     if _ablate == "parse":
         on_path_full = g > jnp.flip(g)  # data-dependent placeholder
@@ -806,7 +823,7 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
     reference Ns encoder's cost-model block decisions (de.ml:3620–3692)
     extended to the parse itself.
     """
-    p = _ceil_pow2(seg_len + MAX_MATCH + 1)
+    p = _ceil_pow2(seg_len)
     levels = p.bit_length() - 1
 
     def one(seg, length, dist, n, lcost, dcost, hl, hot):
