@@ -1198,6 +1198,7 @@ extern "C" int tpuz_expand_cmds(const uint32_t* cmds, uint64_t n_cmds,
     uint32_t c = cmds[i];
     uint32_t kind = c >> 26;
     if (kind == 2) break;
+    if (kind == 3) continue;  // NOP slot (device lane window exhausted)
     if (kind == 0) {
       if (op >= cap) return TPUZ_E_OUTPUT;
       out[op++] = (uint8_t)(c & 0x3ff);

@@ -212,9 +212,23 @@ def _rev15(x):
     return (x >> 1).astype(jnp.int32)  # 16-bit reverse -> drop 1 for 15
 
 
-@functools.partial(jax.jit, static_argnames=("max_cmds",))
+#: default window words per decode step.  A symbol consumes at most 48
+#: bits (15 len code + 5 extra + 15 dist code + 13 extra), so a
+#: worst-case 8-symbol step needs 14 words — but typical commands are
+#: ~9–25 bits, so a 10-word (320-bit) window almost always feeds the
+#: whole unroll, and the rare lane that runs out of bits mid-step emits
+#: explicit NOP slots and resumes at the next step's re-gathered
+#: window.  Gathered window elements drop from 1.75 to 1.25 per symbol
+#: (of ~3.75 total).  Override per call or via DECOMPRESS_TPU_INFLATE_NW.
+NW_DEFAULT = int(__import__("os").environ.get("DECOMPRESS_TPU_INFLATE_NW", "10"))
+
+#: kinds value for a NOP slot (lane's bit window was exhausted
+#: mid-step; no symbol was decoded — downstream consumers skip it)
+KIND_NOP = 3
+
+
 def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
-                   stop_counts=None, row_members=None):
+                   stop_counts=None, row_members=None, nw: int | None = None):
     """Lockstep symbol decode across B members (or member *chunks*).
 
     words: uint32[M, W]; start_bits: int32[B]; lit_tabs/dist_tabs:
@@ -223,21 +237,34 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     many commands even without an end-of-block symbol (the
     split-indexed decode; 0 = EOB only).  row_members (int32[B]) maps
     rows to member arrays so chunk rows share one member upload.
-    Returns (kinds int8[B, max_cmds] (0 lit, 1 copy, 2 end), values
-    int32[B, max_cmds], dists int32[B, max_cmds], ok bool[B]).
+    Returns (kinds int8[B, max_cmds] (0 lit, 1 copy, 2 end, 3 nop),
+    values int32[B, max_cmds], dists int32[B, max_cmds], ok bool[B]).
+    NOP slots carry no symbol (a lane exhausted its bit window
+    mid-step); use :func:`slot_counts` to size per-row slot spans.
 
     Design: gather-frugal.  The chip executes ~140 M gathered elements
     per second but >20 G elementwise lane-ops per second (measured), so
-    the kernel spends elementwise ops to avoid gathers: one 8-word
-    stateless bit-window gather per 4-symbol step (no carried
-    hold/refill state), a single flat gather per code resolution
-    (single-level forward table addressed by a bit-reversed peek — the
-    reverse is ~10 register ops), and base/extra folded into the table
-    entry.  ~4 gathered elements per symbol per lane total, vs ~10
-    batched-gather rows in the round-1 kernel — the difference between
-    ~4 MB/s and >50 MB/s on the same chip.  Replaces the reference's
-    byte-serial hot loop de.ml:1054-1261.
+    the kernel spends elementwise ops to avoid gathers: one stateless
+    ``nw``-word bit-window gather per 8-symbol step (no carried
+    hold/refill state; lanes that outrun the window emit NOPs for the
+    remaining slots instead of forcing worst-case sizing), a single
+    flat gather per code resolution (single-level forward table
+    addressed by a bit-reversed peek — the reverse is ~10 register
+    ops), and base/extra folded into the table entry.  ~3.25 gathered
+    elements per symbol per lane total, vs ~10 batched-gather rows in
+    the round-1 kernel — the difference between ~4 MB/s and >50 MB/s
+    on the same chip.  Replaces the reference's byte-serial hot loop
+    de.ml:1054-1261.
     """
+    return _decode_symbols(words, start_bits, lit_tabs, dist_tabs,
+                           max_cmds=max_cmds, stop_counts=stop_counts,
+                           row_members=row_members,
+                           nw=NW_DEFAULT if nw is None else nw)
+
+
+@functools.partial(jax.jit, static_argnames=("max_cmds", "nw"))
+def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
+                    stop_counts, row_members, nw: int):
     b = start_bits.shape[0]
     M, wmax = words.shape
     words_f = words.reshape(-1)
@@ -250,12 +277,15 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     drow = row_members * TABLE_SIZE
     u32 = jnp.uint32
     UNROLL = 8
-    # window words per step: 31 (start offset) + UNROLL*48 (max consumed)
-    # + 28+4 (last dist peek) bits, rounded up to words
-    NW = (31 + UNROLL * 48 + 32 + 31) // 32
+    NW = nw
+    # a symbol decode at window bit-offset o peeks [o, o+32) and
+    # [o+c1, o+c1+32) with c1 <= 20; peek32 reads word lanes o>>5 and
+    # o>>5 + 1, so it needs o+20 <= 32*(NW-1)-1, i.e. o <= 32*NW-53
+    BUDGET = 32 * NW - 53
+    assert BUDGET >= 31, "window must cover a 31-bit start offset"
 
     def step(carry):
-        i, pos, done, bad, cmds = carry
+        i, pos, done, bad, nreal, cmds = carry
         base = pos >> 5
         off0 = pos & 31
         ws = [words_f[wrow + jnp.minimum(base + k, wmax - 1)].astype(u32)
@@ -276,7 +306,8 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
         new_done, new_bad = done, bad
         pos_new = pos
         for u in range(UNROLL):
-            p = peek32(o)
+            can = o <= BUDGET  # lane still has window bits for a symbol
+            p = peek32(jnp.minimum(o, BUDGET))
             e = lit_f[lrow + _rev15(p)]
             kind = e >> 15
             nb = (e >> 11) & 15
@@ -288,7 +319,7 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
             is_end = kind == 3
             value = jnp.where(is_copy, payload + 3 + lext, payload)
             c1 = nb + extra
-            o2 = o + c1
+            o2 = jnp.minimum(o + c1, BUDGET + 20)
             p2 = peek32(o2)
             de_ = dist_f[drow + _rev15(p2)]
             dvalid = (de_ >> 23) != 0
@@ -299,41 +330,57 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
             dist = (de_ & 0x7FFF) + 1 + dext
             c2 = jnp.where(is_copy, dnb + dxn, 0)
 
-            sym_bad = (kind == 0) | (is_copy & ~dvalid)
-            write = ~new_done & ~sym_bad
+            sym_bad = ((kind == 0) | (is_copy & ~dvalid)) & can
+            write = ~new_done & can & ~sym_bad
             if stop_counts is not None:
                 # count-stopped rows: mid-chunk end-of-block is malformed
                 sym_bad = sym_bad | (write & is_end & (stop_counts > 0))
                 write = write & ~sym_bad
+            nopped = ~new_done & ~can
             okind = jnp.where(is_end, 2, jnp.where(is_copy, 1, 0))
             packed = (okind << 26) | (jnp.where(is_copy, dist, 0) << 10) | value
-            packed = jnp.where(write, packed, 2 << 26)
+            packed = jnp.where(
+                write, packed,
+                jnp.where(nopped, KIND_NOP << 26, 2 << 26))
             cmds = cmds.at[i + u].set(packed)
             new_bad = new_bad | (~new_done & sym_bad)
             adv = jnp.where(write & ~is_end, c1 + c2,
                             jnp.where(write & is_end, c1, 0))
             o = o + jnp.where(write, c1 + c2, 0)
             pos_new = pos_new + adv
-            new_done = new_done | (is_end & ~new_done) | new_bad
+            new_done = new_done | (write & is_end) | new_bad
+            nreal = nreal + write.astype(jnp.int32)
             if stop_counts is not None:
-                new_done = new_done | (
-                    (stop_counts > 0) & (i + u + 1 >= stop_counts))
-        return i + UNROLL, pos_new, new_done, new_bad, cmds
+                new_done = new_done | ((stop_counts > 0) & (nreal >= stop_counts))
+        return i + UNROLL, pos_new, new_done, new_bad, nreal, cmds
 
     def cond(carry):
-        i, _, done, _, _ = carry
+        i, _, done, _, _, _ = carry
         return (i < max_cmds - (UNROLL - 1)) & ~jnp.all(done)
 
     cmds0 = jnp.full((max_cmds, b), 2 << 26, jnp.int32)
     init = (jnp.int32(0), start_bits.astype(jnp.int32),
-            jnp.zeros(b, bool), jnp.zeros(b, bool), cmds0)
-    _, _, done, bad, cmds = jax.lax.while_loop(cond, step, init)
+            jnp.zeros(b, bool), jnp.zeros(b, bool),
+            jnp.zeros(b, jnp.int32), cmds0)
+    _, _, done, bad, _, cmds = jax.lax.while_loop(cond, step, init)
     cmds = cmds.T
     kinds = (cmds >> 26).astype(jnp.int8)
     values = cmds & 0x3FF
     dists = (cmds >> 10) & 0xFFFF
     ok = done & ~bad
     return kinds, values, dists, ok
+
+
+@jax.jit
+def slot_counts(kinds, stop_counts):
+    """Per-row SLOT span (NOP slots included): for count-stopped rows,
+    the slots holding the first ``stop_counts`` real commands; for
+    EOB-terminated rows, slots up to and including the end marker."""
+    real = (kinds == 0) | (kinds == 1)
+    cum = jnp.cumsum(real.astype(jnp.int32), axis=1)
+    stopped = jnp.sum((cum < stop_counts[:, None]).astype(jnp.int32), axis=1) + 1
+    ended = jnp.argmax(kinds == 2, axis=1).astype(jnp.int32) + 1
+    return jnp.where(stop_counts > 0, stopped, ended)
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))

@@ -483,8 +483,10 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             # contiguous concatenation of its rows' spans (interior rows
             # contribute exactly stop_count commands — no end marker).
             packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
-            counted = np.asarray(inflate_ops.command_counts(kinds))
-            ncmds = np.where(stop_counts > 0, stop_counts, counted)
+            # per-row SLOT spans (NOP slots included — the C++ expander
+            # skips kind-3 words), not command counts
+            ncmds = np.asarray(
+                inflate_ops.slot_counts(kinds, jnp.asarray(stop_counts)))
             total = int(ncmds.sum())
             out_size = _ceil_pow2_int(max(total, 1))
             flat = np.asarray(
@@ -518,8 +520,8 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             # the payload never has to leave the chip
             if use_splits:
                 packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
-                counted = np.asarray(inflate_ops.command_counts(kinds))
-                ncmds = np.where(stop_counts > 0, stop_counts, counted)
+                ncmds = np.asarray(
+                    inflate_ops.slot_counts(kinds, jnp.asarray(stop_counts)))
                 total = int(ncmds.sum())
                 flat = inflate_ops.compact_commands(
                     packed, jnp.asarray(ncmds), _ceil_pow2_int(max(total, 1)))

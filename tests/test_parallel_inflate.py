@@ -152,3 +152,68 @@ def test_device_expansion_with_splits(payload):
     arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
     out = sh.sharded_gzip_decompress(de._np_u8(arch), expand="device")
     assert out == payload
+
+
+def test_nop_slots_small_window(payload, monkeypatch):
+    """A small decode window forces lanes to exhaust their bit budget
+    mid-step and emit NOP slots (kind 3); both the native expander and
+    the on-device expansion must skip them and still produce byte-exact
+    output without the serial fallback."""
+    from decompress_tpu.ops import inflate as iops
+    from decompress_tpu.parallel import sharded as sh
+
+    arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
+    # 75-bit budget: random-literal runs exhaust it mid-step -> NOPs,
+    # but every row still fits its slot cap (nw=3 would overflow and
+    # take the by-design serial fallback instead)
+    monkeypatch.setattr(iops, "NW_DEFAULT", 4)
+    monkeypatch.setattr(sh.gz, "decompress", lambda _b: (_ for _ in ()).throw(
+        AssertionError("serial fallback used")))
+    assert sh.sharded_gzip_decompress(de._np_u8(arch)) == payload
+    assert sh.sharded_gzip_decompress(de._np_u8(arch), expand="device") == payload
+
+
+def test_slot_counts_mixed_nops():
+    """slot_counts: count-stopped rows span the first N real commands
+    (NOPs included); EOB rows span up to the end marker."""
+    import jax.numpy as jnp
+
+    from decompress_tpu.ops import inflate as iops
+
+    kinds = np.array(
+        [
+            [0, 3, 0, 1, 2, 2],   # stop=3: slots 0..3 hold 3 real cmds
+            [3, 3, 0, 2, 2, 2],   # EOB row: end marker at slot 3
+            [0, 0, 0, 0, 1, 2],   # stop=5: no nops -> 5 slots
+        ],
+        np.int8,
+    )
+    stops = np.array([3, 0, 5], np.int32)
+    out = np.asarray(iops.slot_counts(jnp.asarray(kinds), jnp.asarray(stops)))
+    assert out.tolist() == [4, 4, 5]
+
+
+def test_nop_slots_emitted_and_skipped(payload):
+    """Direct kernel check: nw=4 produces NOP slots on this payload and
+    the native expander reproduces the exact member bytes through them."""
+    import jax.numpy as jnp
+
+    from decompress_tpu import native
+    from decompress_tpu.ops import inflate as iops
+    from decompress_tpu.parallel import sharded as sh
+
+    arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
+    from ablate_inflate import stage
+
+    mw, ll, dl, sb, sc, rm, max_cmds, nrows = stage(de._np_u8(arch))
+    lt, dt = iops.build_fused_tables(jnp.asarray(ll), jnp.asarray(dl))
+    kinds, values, dists, ok = iops.decode_symbols(
+        jnp.asarray(mw), jnp.asarray(sb), lt, dt, max_cmds=max_cmds,
+        stop_counts=jnp.asarray(sc), row_members=jnp.asarray(rm), nw=4)
+    kk = np.asarray(kinds)[:nrows]
+    assert bool(np.asarray(ok)[:nrows].all())
+    assert (kk == 3).sum() > 0, "expected NOP slots with a 75-bit budget"
