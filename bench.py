@@ -150,6 +150,42 @@ def main() -> int:
     except Exception:
         pass
 
+    # kernel-resident deflate analyze (tunnel excluded): the dominant
+    # compress kernel, timed on staged device data fetching one scalar
+    c_kernel_mbps = 0.0
+    try:
+        import numpy as _np2
+        import jax as _jax
+        import jax.numpy as _jnp2
+
+        from decompress_tpu import de as _de
+        from decompress_tpu.ops import lz77 as _lz77
+
+        _b = _de.MAX_DEVICE_BATCH
+        _seg = _de.SEGMENT_SIZE
+        _t = _lz77.HIST + _seg
+        _raw = (data * max(2, -(-(_b * _seg) // len(data))))[: _b * _seg]
+        _d = _np2.zeros((_b, _t), _np2.uint8)
+        for _i in range(_b):
+            _d[_i, _lz77.HIST:] = _np2.frombuffer(
+                _raw[_i * _seg : (_i + 1) * _seg], _np2.uint8)
+
+        @_jax.jit
+        def _run(dd, nn, hh):
+            r = _lz77.lz77_analyze(dd, nn, hh, level=args.level, seg_len=_seg)
+            return (_jnp2.sum(r["on_path"]) + _jnp2.sum(r["length"])
+                    + _jnp2.sum(r["dist"]))
+
+        _dd = _jnp2.asarray(_d)
+        _nn = _jnp2.full(_b, _seg, _jnp2.int32)
+        _hh = _jnp2.zeros(_b, _jnp2.int32)
+        int(_run(_dd, _nn, _hh))  # warm (compile cached from compress)
+        t0 = time.time()
+        int(_run(_dd, _nn, _hh))
+        c_kernel_mbps = _b * _seg / 1e6 / (time.time() - t0)
+    except Exception:
+        pass
+
     ratio = len(arch) / len(data)
     vs = ((c_gbps / 0.5) * (d_gbps / 1.0)) ** 0.5
     value = (c_gbps * d_gbps) ** 0.5
@@ -173,6 +209,7 @@ def main() -> int:
                     "inflate_GBps": round(d_gbps, 6),
                     "inflate_device_GBps": round(d_dev_gbps, 6),
                     "inflate_device_kernel_MBps": round(d_kernel_mbps, 1),
+                    "deflate_analyze_kernel_MBps": round(c_kernel_mbps, 2),
                     "ratio": round(ratio, 4),
                     "level": args.level,
                     "size_mb": args.size_mb,
