@@ -153,8 +153,10 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
         s_dist = huffman.code_lengths_from_frequencies(hd_sum)
         shared = (s_lit, s_dist, de.build_dynamic_header(s_lit, s_dist))
 
-    parts: list = []
-    crcs_all: list = []
+    # phase B: host tree planning + pack dispatch for every chunk go out
+    # before any pack fetch (same look-ahead as phase A: the device
+    # packs chunk i+1 while the host drains chunk i on real hardware)
+    packed_pending = []
     for (lo, hi, b, b_pad, cdata, cnv, d_data, res,
          hist_lit, hist_dist) in staged:
         hdr, tabs, kinds = de.plan_blocks(
@@ -167,6 +169,11 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
                 *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
                 out_words, n_splits=N_SPLITS, split_stride=SPLIT_STRIDE,
             )
+        packed_pending.append((lo, hi, b, cdata, cnv, d_data, kinds, pk))
+
+    parts: list = []
+    crcs_all: list = []
+    for (lo, hi, b, cdata, cnv, d_data, kinds, pk) in packed_pending:
         (words, totals), (sp_bits, sp_cmds, sp_outs) = pk
         totals = np.asarray(totals)[:b]
         sp_bits = np.asarray(sp_bits)[:b]
