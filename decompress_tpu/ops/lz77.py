@@ -101,6 +101,15 @@ LEVELS: dict[int, LevelConfig] = {
 }
 
 
+def _descent_mode() -> str:
+    """LCP-descent strategy: "compact" (span rounds over the compacted
+    floor>=16 subset) or "full" (every payload position).  Read at trace
+    time — sweep across processes via DECOMPRESS_TPU_DESCENT."""
+    import os
+
+    return os.environ.get("DECOMPRESS_TPU_DESCENT", "compact")
+
+
 def _ceil_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -424,6 +433,18 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         bdist2 = pos_pay - bcand2
         bsafe2 = jnp.where(has2, bcand2, 0)
 
+    runs = None
+    if cfg.runs:
+        # exact small-distance (RLE-ish) run lengths via one batched
+        # suffix scan over all four distances (payload only) — computed
+        # before the descent so the compacted descent can exclude
+        # positions the runs pass settles anyway
+        small_d = (1, 2, 3, 4)
+        eqs = jnp.stack(
+            [(data_u8 == jnp.roll(data_u8, d))[hist:] for d in small_d]
+        )
+        runs = _run_length_scan_multi(eqs)
+
     if cfg.exact:
         # exact linear extension in 4-byte steps (level 9 / fallback)
         length = jnp.zeros(seg_len, jnp.int32)
@@ -446,15 +467,17 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         # verification pass backstops collisions, as before).
         spans = (32, 16, 8, 4) if cfg.full_ladder else (128, 64, 32, 16, 8, 4)
 
-        def descend(bsafe_d, has_d, btier_d, floor_d):
-            length = jnp.where(has_d, floor_d, 0)
+        def _span_walk(bsafe_d, pos_d, live, length):
             for span in spans:
                 idx_c = jnp.minimum(bsafe_d + length, t - 1)
-                idx_i = jnp.minimum(pos_pay + length, t - 1)
+                idx_i = jnp.minimum(pos_d + length, t - 1)
                 f = fp[span]
-                eq = (f[idx_c] == f[idx_i]) & has_d & (
+                eq = (f[idx_c] == f[idx_i]) & live & (
                     length + span <= MAX_MATCH + 4)
                 length = length + jnp.where(eq, span, 0)
+            return length
+
+        def _refine(bsafe_d, has_d, btier_d, length):
             # final 0..3 byte refine with the exact word
             idx_c = jnp.minimum(bsafe_d + length, t - 1)
             idx_i = jnp.minimum(pos_pay + length, t - 1)
@@ -463,6 +486,55 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             # tier-1 candidates matched only 3 bytes
             length = jnp.where(has_d & (btier_d == 1) & (length < 3), 3, length)
             return jnp.where(has_d, length, 0)
+
+        def descend(bsafe_d, has_d, btier_d, floor_d):
+            length = jnp.where(has_d, floor_d, 0)
+            if (cfg.full_ladder and seg_len >= 4096
+                    and _descent_mode() == "compact"):
+                # Compaction-by-floor-class, BIT-IDENTICAL to the full
+                # walk: a full-ladder floor < 16 sits at most 2 below
+                # its guaranteed ceiling (the 10/12/14/16 rungs are 2
+                # apart and plen4+plen8 are byte-exact below 8), so the
+                # 0..3-byte refine alone resolves it — the four span
+                # rounds matter only for floors >= 16 (a small minority
+                # on typical data: book1 0.5%, obj2 18%, trans 42%,
+                # pic 77% measured).  Needy positions compact into
+                # seg_len/4-slot batches via one cumsum-rank scatter; a
+                # fori_loop walks ceil(count/m_cap) <= 4 batches, so
+                # even all-needy segments resolve exactly (typical data
+                # runs one batch; span gathers touch m_cap elements
+                # instead of seg_len).  Positions whose dist-1 run
+                # already spans MAX_MATCH are excluded: the runs pass
+                # emits (258, 1) for them and wins (or ties with the
+                # identical pair) against any descent result, so the
+                # final merge is provably unchanged — this keeps
+                # run-dominated inputs (pic) at one batch.
+                m_cap = seg_len // 4
+                need = has_d & (floor_d >= 16)
+                if runs is not None:
+                    run1_ok = (pos_pay - 1 >= valid_lo) & (pos_pay < valid_hi)
+                    need = need & ~(run1_ok & (runs[0] >= MAX_MATCH))
+                rank = jnp.cumsum(need.astype(jnp.int32)) - 1
+                count = jnp.sum(need.astype(jnp.int32))
+                cidx_all = jnp.zeros(seg_len, jnp.int32).at[
+                    jnp.where(need, rank, seg_len)
+                ].set(jnp.arange(seg_len, dtype=jnp.int32), mode="drop")
+                nb = (count + m_cap - 1) // m_cap
+
+                def one_batch(i, ln):
+                    cidx = jax.lax.dynamic_slice(cidx_all, (i * m_cap,),
+                                                 (m_cap,))
+                    gslot = i * m_cap + jnp.arange(m_cap, dtype=jnp.int32)
+                    cvalid = gslot < count
+                    ln_c = _span_walk(bsafe_d[cidx], cidx + hist, cvalid,
+                                      floor_d[cidx])
+                    return ln.at[jnp.where(cvalid, cidx, seg_len)].set(
+                        ln_c, mode="drop")
+
+                length = jax.lax.fori_loop(0, nb, one_batch, length)
+            else:
+                length = _span_walk(bsafe_d, pos_pay, has_d, length)
+            return _refine(bsafe_d, has_d, btier_d, length)
 
         length = descend(bsafe, has, btier, bfloor)
         if cfg.top2:
@@ -474,13 +546,8 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             bdist = jnp.where(take2, bdist2, bdist)
 
     if cfg.runs:
-        # ---- exact small-distance (RLE-ish) candidates via one
-        # batched suffix scan over all four distances (payload only) ----
-        small_d = (1, 2, 3, 4)
-        eqs = jnp.stack(
-            [(data_u8 == jnp.roll(data_u8, d))[hist:] for d in small_d]
-        )
-        runs = _run_length_scan_multi(eqs)
+        # ---- merge the exact small-distance (RLE-ish) candidates
+        # (runs computed above, before the descent) ----
         for di, d in enumerate(small_d):
             src_ok = (pos_pay - d >= valid_lo) & (pos_pay < valid_hi)
             len_d = jnp.where(src_ok, jnp.minimum(runs[di], MAX_MATCH), 0)
