@@ -217,3 +217,21 @@ def test_nop_slots_emitted_and_skipped(payload):
     kk = np.asarray(kinds)[:nrows]
     assert bool(np.asarray(ok)[:nrows].all())
     assert (kk == 3).sum() > 0, "expected NOP slots with a 75-bit budget"
+
+
+def test_default_window_far_match_stream(monkeypatch):
+    """Dense far-match streams (dist > 16384: 13 extra bits; len > 227:
+    5 extra bits) exceed the default 10-word step budget and must ride
+    the NOP path at the DEFAULT config — no serial fallback, byte-exact."""
+    from decompress_tpu.parallel import sharded as sh
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, 17000, np.uint8).tobytes()
+    tail = bytearray(base[:16500])
+    for j in range(0, len(tail), 251):  # break matches every ~250 bytes
+        tail[j] ^= 0xA5
+    payload = base + bytes(tail) + base[:8000]
+    arch = sharded_gzip_compress(payload, 6, member_size=65536)
+    monkeypatch.setattr(sh.gz, "decompress", lambda _b: (_ for _ in ()).throw(
+        AssertionError("serial fallback used")))
+    assert sh.sharded_gzip_decompress(de._np_u8(arch)) == payload
