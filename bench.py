@@ -161,25 +161,27 @@ def main() -> int:
         from decompress_tpu import de as _de
         from decompress_tpu.ops import lz77 as _lz77
 
+        # the PRODUCTION kernel variant: sharded compress runs the
+        # matcher hist-free (members are independent), and the fetched
+        # scalar must depend on every output (histograms included) or
+        # XLA dead-code-eliminates the scatter passes production pays
         _b = _de.MAX_DEVICE_BATCH
         _seg = _de.SEGMENT_SIZE
-        _t = _lz77.HIST + _seg
         _raw = (data * max(2, -(-(_b * _seg) // len(data))))[: _b * _seg]
-        _d = _np2.zeros((_b, _t), _np2.uint8)
-        for _i in range(_b):
-            _d[_i, _lz77.HIST:] = _np2.frombuffer(
-                _raw[_i * _seg : (_i + 1) * _seg], _np2.uint8)
+        _d = _np2.frombuffer(_raw, _np2.uint8).reshape(_b, _seg)
 
         @_jax.jit
         def _run(dd, nn, hh):
-            r = _lz77.lz77_analyze(dd, nn, hh, level=args.level, seg_len=_seg)
+            r = _lz77.lz77_analyze(dd, nn, hh, level=args.level,
+                                   seg_len=_seg, hist=0)
             return (_jnp2.sum(r["on_path"]) + _jnp2.sum(r["length"])
-                    + _jnp2.sum(r["dist"]))
+                    + _jnp2.sum(r["dist"]) + _jnp2.sum(r["hist_lit"])
+                    + _jnp2.sum(r["hist_dist"]))
 
         _dd = _jnp2.asarray(_d)
         _nn = _jnp2.full(_b, _seg, _jnp2.int32)
         _hh = _jnp2.zeros(_b, _jnp2.int32)
-        int(_run(_dd, _nn, _hh))  # warm (compile cached from compress)
+        int(_run(_dd, _nn, _hh))  # warm (first run may compile; cached on disk)
         t0 = time.time()
         int(_run(_dd, _nn, _hh))
         c_kernel_mbps = _b * _seg / 1e6 / (time.time() - t0)

@@ -219,8 +219,35 @@ def _rev15(x):
 #: whole unroll, and the rare lane that runs out of bits mid-step emits
 #: explicit NOP slots and resumes at the next step's re-gathered
 #: window.  Gathered window elements drop from 1.75 to 1.25 per symbol
-#: (of ~3.75 total).  Override per call or via DECOMPRESS_TPU_INFLATE_NW.
-NW_DEFAULT = int(__import__("os").environ.get("DECOMPRESS_TPU_INFLATE_NW", "10"))
+#: (of ~3.75 total).  Override per call (``nw=``), via NW_DEFAULT, or —
+#: highest precedence, read at EVERY call so env sweeps work without
+#: reimporting — via DECOMPRESS_TPU_INFLATE_NW.
+NW_DEFAULT = 10
+
+
+def _nw_default() -> int:
+    import os
+
+    env = os.environ.get("DECOMPRESS_TPU_INFLATE_NW")
+    return int(env) if env is not None else NW_DEFAULT
+
+
+#: decode-loop unroll: symbols attempted (slots written) per step
+UNROLL = 8
+
+
+def worst_case_slots(n_cmds: int, nw: int | None = None) -> int:
+    """Slots sufficient to decode ``n_cmds`` commands at window ``nw``
+    for ANY stream: a step starting at bit offset <= 31 decodes at
+    least k = floor((BUDGET-31)/48) + 1 symbols (48 bits is the max
+    command width) before exhausting its budget, so ceil(n/k) steps of
+    UNROLL slots always suffice.  Callers size max_cmds with this so
+    lowering the window knob cannot silently starve rows into the
+    serial fallback."""
+    nw = _nw_default() if nw is None else nw
+    budget = 32 * nw - 53
+    k = max(1, (budget - 31) // 48 + 1)
+    return -(-n_cmds // k) * UNROLL
 
 #: kinds value for a NOP slot (lane's bit window was exhausted
 #: mid-step; no symbol was decoded — downstream consumers skip it)
@@ -259,7 +286,7 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     return _decode_symbols(words, start_bits, lit_tabs, dist_tabs,
                            max_cmds=max_cmds, stop_counts=stop_counts,
                            row_members=row_members,
-                           nw=NW_DEFAULT if nw is None else nw)
+                           nw=_nw_default() if nw is None else nw)
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds", "nw"))
@@ -276,7 +303,6 @@ def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     lrow = row_members * TABLE_SIZE
     drow = row_members * TABLE_SIZE
     u32 = jnp.uint32
-    UNROLL = 8
     NW = nw
     # a symbol decode at window bit-offset o peeks [o, o+32) and
     # [o+c1, o+c1+32) with c1 <= 20; peek32 reads word lanes o>>5 and

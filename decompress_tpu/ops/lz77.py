@@ -509,15 +509,16 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
                 # identical pair) against any descent result, so the
                 # final merge is provably unchanged — this keeps
                 # run-dominated inputs (pic) at one batch.
-                m_cap = seg_len // 4
+                m_cap = -(-seg_len // 4)  # ceil: 4 batches always cover
                 need = has_d & (floor_d >= 16)
                 if runs is not None:
                     run1_ok = (pos_pay - 1 >= valid_lo) & (pos_pay < valid_hi)
                     need = need & ~(run1_ok & (runs[0] >= MAX_MATCH))
                 rank = jnp.cumsum(need.astype(jnp.int32)) - 1
                 count = jnp.sum(need.astype(jnp.int32))
-                cidx_all = jnp.zeros(seg_len, jnp.int32).at[
-                    jnp.where(need, rank, seg_len)
+                # buffer padded to 4*m_cap so batch slices never clamp
+                cidx_all = jnp.zeros(4 * m_cap, jnp.int32).at[
+                    jnp.where(need, rank, 4 * m_cap)
                 ].set(jnp.arange(seg_len, dtype=jnp.int32), mode="drop")
                 nb = (count + m_cap - 1) // m_cap
 
@@ -704,22 +705,34 @@ def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n,
     high bits dominates the ordering), so no full-domain gather is
     needed to fetch them — only the one unavoidable source-byte gather.
     """
-    assert seg_len <= 1 << 17, "verify packing assumes seg_len <= 128 KiB"
     posn = jnp.arange(seg_len, dtype=jnp.int32)
-    # (start+1) << 9 | length fits uint32 for seg_len <= 2^17 (start+1
-    # <= 2^17, length <= 258 < 2^9); zero means "no match yet".
-    c1 = jax.lax.cummax(
-        jnp.where(is_match, ((posn + 1) << 9) | length, 0).astype(jnp.uint32)
-    ).astype(jnp.int32)
-    cov_start = (c1 >> 9) - 1
-    cov_len = c1 & 0x1FF
-    # start << 15 | (dist-1): same running-max selection (start
-    # dominates); dist-1 <= 32767 in 15 bits keeps start's 17 bits.
-    c2 = jax.lax.cummax(
-        jnp.where(is_match, (posn << 15) | (dist - 1), 0).astype(jnp.uint32)
-    ).astype(jnp.int32)
-    cov_dist = (c2 & 0x7FFF) + 1
-    covered = (c1 > 0) & (posn < cov_start + cov_len) & (posn < n)
+    if seg_len <= 1 << 17:
+        # (start+1) << 9 | length fits uint32 for seg_len <= 2^17
+        # (start+1 <= 2^17, length <= 258 < 2^9); zero = "no match yet".
+        c1 = jax.lax.cummax(
+            jnp.where(is_match, ((posn + 1) << 9) | length, 0)
+            .astype(jnp.uint32)
+        ).astype(jnp.int32)
+        cov_start = (c1 >> 9) - 1
+        cov_len = c1 & 0x1FF
+        # start << 15 | (dist-1): same running-max selection (start
+        # dominates); dist-1 <= 32767 in 15 bits keeps start's 17 bits.
+        c2 = jax.lax.cummax(
+            jnp.where(is_match, (posn << 15) | (dist - 1), 0)
+            .astype(jnp.uint32)
+        ).astype(jnp.int32)
+        cov_dist = (c2 & 0x7FFF) + 1
+        covered = (c1 > 0) & (posn < cov_start + cov_len) & (posn < n)
+    else:
+        # larger segments: the packed words overflow 32 bits — fetch
+        # (length, dist) with one full-domain gather instead
+        start = jnp.where(is_match, posn, -1)
+        cov_start = jax.lax.cummax(start)
+        safe_start = jnp.maximum(cov_start, 0)
+        cov = ((length << 16) | dist)[safe_start]
+        cov_len = cov >> 16
+        cov_dist = cov & 0xFFFF
+        covered = (cov_start >= 0) & (posn < safe_start + cov_len) & (posn < n)
     payload = data_u8[hist : hist + seg_len]
     src_idx = jnp.maximum(hist + posn - cov_dist, 0)
     eq = payload == data_u8[src_idx]

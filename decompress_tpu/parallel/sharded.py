@@ -106,12 +106,16 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
     chunk = de.MAX_DEVICE_BATCH * d
     out_words = (9 * member_size) // 32 + 2 * de._HDR_PAD
 
-    # phase A: device analysis.  All round-A dispatches go out BEFORE
-    # any host fetch, so the device pipelines chunk i+1's analysis
-    # while the host consumes chunk i (no effect through the serial
-    # dev-tunnel used for bring-up; real hardware overlaps).
-    pending = []
-    for lo in range(0, m, chunk):
+    # Pipelined chunk schedule with a bounded look-ahead window: chunk
+    # i's analyze dispatch goes out, then chunk i-1's packed words are
+    # drained while the device crunches i, then i's pack is dispatched.
+    # At most TWO chunks of device buffers are live at any moment, so
+    # arbitrarily large inputs stream at O(1) device footprint while
+    # the device queue never starves (no effect through the serial
+    # bring-up tunnel; real hardware overlaps).  shared_tree needs the
+    # global frequency sums before any pack, so it stages every
+    # analyze first (its footprint is inherently O(m)).
+    def _dispatch_analyze(lo):
         hi = min(lo + chunk, m)
         b = hi - lo
         b_pad = chunk if b == chunk else max(d, 1 << (b - 1).bit_length())
@@ -128,37 +132,20 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
         with profiling.annotate("lz77_analyze_dispatch"):
             res0 = lz77.analyze2_start(d_data, d_nv, d_hl, level=level,
                                        seg_len=member_size, hist=hist)
-        pending.append((lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0))
+        return (lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0)
 
-    staged = []
-    for (lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0) in pending:
+    def _finish_analyze(pend):
+        (lo, hi, b, b_pad, cdata, cnv, d_data, d_nv, d_hl, res0) = pend
         res = lz77.analyze2_finish(res0, d_data, d_nv, d_hl, level=level,
                                    seg_len=member_size, hist=hist)
         hist_lit = np.asarray(res["hist_lit"])[:b]
         hist_dist = np.asarray(res["hist_dist"])[:b]
-        staged.append((lo, hi, b, b_pad, cdata, cnv, d_data, res,
-                       hist_lit, hist_dist))
+        return (lo, hi, b, b_pad, cdata, cnv, d_data, res,
+                hist_lit, hist_dist)
 
-    shared = None
-    if shared_tree:
-        from ..core import huffman
-
-        hl_sum = np.zeros(de.NUM_LIT_SYMS, np.int64)
-        hd_sum = np.zeros(de.NUM_DIST_SYMS, np.int64)
-        for st in staged:
-            hl_sum[: st[8].shape[1]] += st[8].astype(np.int64).sum(axis=0)
-            hd_sum[: st[9].shape[1]] += st[9].astype(np.int64).sum(axis=0)
-        hl_sum[de.EOB] += m  # one EOB per member block
-        s_lit = huffman.code_lengths_from_frequencies(hl_sum)
-        s_dist = huffman.code_lengths_from_frequencies(hd_sum)
-        shared = (s_lit, s_dist, de.build_dynamic_header(s_lit, s_dist))
-
-    # phase B: host tree planning + pack dispatch for every chunk go out
-    # before any pack fetch (same look-ahead as phase A: the device
-    # packs chunk i+1 while the host drains chunk i on real hardware)
-    packed_pending = []
-    for (lo, hi, b, b_pad, cdata, cnv, d_data, res,
-         hist_lit, hist_dist) in staged:
+    def _dispatch_pack(st, shared):
+        (lo, hi, b, b_pad, cdata, cnv, d_data, res,
+         hist_lit, hist_dist) = st
         hdr, tabs, kinds = de.plan_blocks(
             hist_lit, hist_dist, cnv[:b], final_flags[lo:hi], pad_to=b_pad,
             shared_tree=shared if shared_tree else False,
@@ -169,11 +156,40 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
                 *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
                 out_words, n_splits=N_SPLITS, split_stride=SPLIT_STRIDE,
             )
-        packed_pending.append((lo, hi, b, cdata, cnv, d_data, kinds, pk))
+        return (lo, hi, b, cdata, cnv, d_data, kinds, pk)
+
+    shared = None
+    if shared_tree:
+        from ..core import huffman
+
+        staged = [_finish_analyze(_dispatch_analyze(lo))
+                  for lo in range(0, m, chunk)]
+        hl_sum = np.zeros(de.NUM_LIT_SYMS, np.int64)
+        hd_sum = np.zeros(de.NUM_DIST_SYMS, np.int64)
+        for st in staged:
+            hl_sum[: st[8].shape[1]] += st[8].astype(np.int64).sum(axis=0)
+            hd_sum[: st[9].shape[1]] += st[9].astype(np.int64).sum(axis=0)
+        hl_sum[de.EOB] += m  # one EOB per member block
+        s_lit = huffman.code_lengths_from_frequencies(hl_sum)
+        s_dist = huffman.code_lengths_from_frequencies(hd_sum)
+        shared = (s_lit, s_dist, de.build_dynamic_header(s_lit, s_dist))
+        packed_iter = (_dispatch_pack(st, shared) for st in staged)
+    else:
+        def _windowed():
+            in_pack = None
+            for lo in range(0, m, chunk):
+                pend = _dispatch_analyze(lo)
+                if in_pack is not None:
+                    yield in_pack  # drain i-1's pack while i analyzes
+                in_pack = _dispatch_pack(_finish_analyze(pend), None)
+            if in_pack is not None:
+                yield in_pack
+
+        packed_iter = _windowed()
 
     parts: list = []
     crcs_all: list = []
-    for (lo, hi, b, cdata, cnv, d_data, kinds, pk) in packed_pending:
+    for (lo, hi, b, cdata, cnv, d_data, kinds, pk) in packed_iter:
         (words, totals), (sp_bits, sp_cmds, sp_outs) = pk
         totals = np.asarray(totals)[:b]
         sp_bits = np.asarray(sp_bits)[:b]
@@ -443,7 +459,13 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
         b_pad = _ceil_pow2_int(nrows)
         # pow2 bucket: bounds compile variants; the while_loop exits
         # as soon as every row is done, so rounding up is ~free
-        max_cmds = _ceil_pow2_int((max(row_caps) if use_splits else out_len) + 4)
+        # size for NOP slot inflation at the active decode window: a
+        # lowered DECOMPRESS_TPU_INFLATE_NW must cost slots, not
+        # silently starve every row into the serial fallback
+        worst = max(
+            inflate_ops.worst_case_slots(c) for c in row_caps
+        ) if use_splits else inflate_ops.worst_case_slots(out_len)
+        max_cmds = _ceil_pow2_int(worst + 4)
         # per-MEMBER upload arrays (+1 sentinel row with invalid tables
         # for padding rows); chunk rows map to members on device, so the
         # host link carries each member's words/tables once

@@ -69,7 +69,7 @@ def stage(buf: np.ndarray):
             row_caps.append(cap)
     nrows = len(rows)
     b_pad = _ceil_pow2_int(nrows)
-    max_cmds = _ceil_pow2_int(max(row_caps) + 4)
+    max_cmds = _ceil_pow2_int(max(iops.worst_case_slots(c) for c in row_caps) + 4)
     midx = {i: r for r, i in enumerate(huff)}
     mw = np.zeros((m + 1, wmax), np.uint32)
     lit_lens = np.zeros((m + 1, 288), np.int32)

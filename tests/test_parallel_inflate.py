@@ -218,6 +218,24 @@ def test_nop_slots_emitted_and_skipped(payload):
     assert bool(np.asarray(ok)[:nrows].all())
     assert (kk == 3).sum() > 0, "expected NOP slots with a 75-bit budget"
 
+    if not native.available():
+        pytest.skip("libtpuz unavailable")
+    # expand the first member's row span (NOPs inline) through the C++
+    # expander and compare bytes against the serial oracle
+    packed = (kinds.astype(jnp.int32) << 26) | (dists << 10) | values
+    ncmds = np.asarray(iops.slot_counts(kinds, jnp.asarray(sc)))
+    row_starts = np.concatenate([[0], np.cumsum(ncmds)])
+    flat = np.asarray(iops.compact_commands(
+        packed, jnp.asarray(ncmds), int(row_starts[-1]) + 1)).astype(np.uint32)
+    # rows of member 0 are the leading rows with row_members == 0
+    r1 = int(np.argmax(np.asarray(rm)[:nrows] != 0)) or nrows
+    seg = np.ascontiguousarray(flat[: int(row_starts[r1])])
+    first_member = gzip.decompress(arch)[: MEMBER]
+    outbuf = np.empty(len(first_member) + 4, np.uint8)
+    produced = native.expand_cmds(seg, outbuf)
+    assert produced == len(first_member)
+    assert outbuf[:produced].tobytes() == first_member
+
 
 def test_default_window_far_match_stream(monkeypatch):
     """Dense far-match streams (dist > 16384: 13 extra bits; len > 227:

@@ -31,7 +31,8 @@ CHECKS = checkify.index_checks | checkify.float_checks | checkify.div_checks
 # by the oracle round-trips).
 SOFT_CHECKS = checkify.float_checks | checkify.div_checks
 
-SEG = 4096
+SEG = 4608  # a seg_len no other test uses: the env-knob (full descent)
+# is read at TRACE time, so this signature must not be traced elsewhere
 
 
 def _payload():
