@@ -15,6 +15,7 @@ throughput; see BASELINE.md for the breakdown.
 
 import argparse
 import gzip as _gzip
+import os
 import json
 import pathlib
 import sys
@@ -67,6 +68,28 @@ def main() -> int:
                     help="capture a jax.profiler trace of one compress+"
                          "decompress cycle into DIR (Perfetto/TensorBoard)")
     args = ap.parse_args()
+
+    # The TPU is reached through a tunnel that can be down; a hung
+    # PJRT init would stall the whole bench forever.  Probe device
+    # init in a SUBPROCESS with a hard timeout first, and fall back to
+    # the CPU backend (honestly marked in the output) if it fails.
+    platform = "tpu"
+    if os.environ.get("DECOMPRESS_TPU_PLATFORM") == "cpu":
+        platform = "cpu"
+    else:
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, check=True, capture_output=True,
+            )
+        except Exception:
+            print("# device init probe failed/timed out -> CPU fallback",
+                  file=sys.stderr)
+            os.environ["DECOMPRESS_TPU_PLATFORM"] = "cpu"
+            platform = "cpu-fallback"
+
     if args.table:
         return table_mode(tuple(int(x) for x in args.levels.split(",")))
 
@@ -216,6 +239,7 @@ def main() -> int:
                     "level": args.level,
                     "size_mb": args.size_mb,
                     "note": "host<->TPU tunnel ~10-25MB/s bounds end-to-end",
+                    "platform": platform,
                 },
             }
         )
