@@ -613,9 +613,9 @@ static int huff_build(Huff* h, const uint8_t* lens, int n, int root_bits,
   int total = 1 << root_bits;  // subtables start after the padded root
   // first pass: subtable allocation per root prefix for long codes
   // (we walk symbols in canonical order)
-  int sub_off[1 << 10];
-  int sub_bits_arr[1 << 10];
-  for (int i = 0; i < (1 << 10); i++) { sub_off[i] = -1; sub_bits_arr[i] = 0; }
+  int sub_off[1 << 11];
+  int sub_bits_arr[1 << 11];
+  for (int i = 0; i < (1 << 11); i++) { sub_off[i] = -1; sub_bits_arr[i] = 0; }
   if (max_len > rb) {
     // compute per-prefix max length
     int codes2[16];
@@ -751,6 +751,12 @@ int tpuz_inflate_set_dictionary(TpuzInflate* s, const uint8_t* dict, uint32_t le
   return 0;
 }
 
+// root peek widths: 11 covers the common 10/11-bit litlen codes of big
+// dynamic blocks without a subtable hop (libdeflate-style; capacity
+// bound ~2342 of 4096 entries), 9 likewise for dist codes.
+#define LIT_RB 11
+#define DIST_RB 9
+
 #define FL_LIT (1u << 31)   // litlen table: literal / dist table: valid dist
 #define FL_LEN (1u << 30)
 #define FL_EOB (1u << 29)
@@ -795,10 +801,10 @@ static void build_fixed(TpuzInflate* s) {
   for (int i = 144; i < 256; i++) lens[i] = 9;
   for (int i = 256; i < 280; i++) lens[i] = 7;
   for (int i = 280; i < 288; i++) lens[i] = 8;
-  huff_build(&s->lit, lens, 288, 10, 0);
+  huff_build(&s->lit, lens, 288, LIT_RB, 0);
   uint8_t dl[32];
   for (int i = 0; i < 32; i++) dl[i] = 5;
-  huff_build(&s->dist, dl, 32, 8, 0);
+  huff_build(&s->dist, dl, 32, DIST_RB, 0);
   fuse_tables(s);
 }
 
@@ -946,9 +952,9 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
           }
         }
         if (s->lens[256] == 0) BAD("invalid dictionary");
-        if (huff_build(&s->lit, s->lens, s->hlit, 10, 0) != 0)
+        if (huff_build(&s->lit, s->lens, s->hlit, LIT_RB, 0) != 0)
           BAD("invalid dictionary");
-        if (huff_build(&s->dist, s->lens + s->hlit, s->hdist, 8, 1) != 0)
+        if (huff_build(&s->dist, s->lens + s->hlit, s->hdist, DIST_RB, 1) != 0)
           BAD("invalid dictionary");
         fuse_tables(s);
         s->mode = M_SYM;
@@ -981,31 +987,31 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
           // 280 bytes of dst slack: the longest copy is 258 bytes and
           // the chunked copies below overshoot by up to 7.
           if (bits < 48 || dst_cap - dp < 280) break;
-          uint32_t e = s->flit[hold & ((1 << 10) - 1)];
+          uint32_t e = s->flit[hold & ((1 << LIT_RB) - 1)];
           if (__builtin_expect(e & FL_LINK, 0))
             e = s->flit[((e >> 8) & 0xffff) +
-                        ((hold >> 10) & ((1u << ((e >> 4) & 15)) - 1))];
+                        ((hold >> LIT_RB) & ((1u << ((e >> 4) & 15)) - 1))];
           if ((int32_t)e < 0) {
             // literal chain: >=48 bits at entry leave >=33 after one
             // 15-bit code, so two more root-resolved literals always
-            // have their bits buffered (root peek 10, code <= 15)
+            // have their bits buffered (root peek LIT_RB=11, code <= 15)
             DROPBITS(e & 15);
             dst[dp++] = (uint8_t)(e >> 8);
-            e = s->flit[hold & ((1 << 10) - 1)];
+            e = s->flit[hold & ((1 << LIT_RB) - 1)];
             if ((int32_t)e < 0) {
               DROPBITS(e & 15);
               dst[dp++] = (uint8_t)(e >> 8);
-              e = s->flit[hold & ((1 << 10) - 1)];
+              e = s->flit[hold & ((1 << LIT_RB) - 1)];
               if ((int32_t)e < 0) {
                 DROPBITS(e & 15);
                 dst[dp++] = (uint8_t)(e >> 8);
                 // typical literal codes are 8–9 bits, so two more often
                 // still fit the refill; guard each with a bits check
-                e = s->flit[hold & ((1 << 10) - 1)];
+                e = s->flit[hold & ((1 << LIT_RB) - 1)];
                 if ((int32_t)e < 0 && (int)(e & 15) <= bits) {
                   DROPBITS(e & 15);
                   dst[dp++] = (uint8_t)(e >> 8);
-                  e = s->flit[hold & ((1 << 10) - 1)];
+                  e = s->flit[hold & ((1 << LIT_RB) - 1)];
                   if ((int32_t)e < 0 && (int)(e & 15) <= bits) {
                     DROPBITS(e & 15);
                     dst[dp++] = (uint8_t)(e >> 8);
@@ -1022,10 +1028,10 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
             uint32_t len = ((e >> 8) & 0x1ff) +
                            (uint32_t)((hold >> cb) & ((1u << eb) - 1));
             DROPBITS(cb + eb);
-            uint32_t d = s->fdist[hold & ((1 << 8) - 1)];
+            uint32_t d = s->fdist[hold & ((1 << DIST_RB) - 1)];
             if (__builtin_expect(d & FL_LINK, 0))
               d = s->fdist[((d >> 8) & 0xffff) +
-                           ((hold >> 8) & ((1u << ((d >> 4) & 15)) - 1))];
+                           ((hold >> DIST_RB) & ((1u << ((d >> 4) & 15)) - 1))];
             if (__builtin_expect(!(d & FL_LIT), 0)) BAD("invalid distance code");
             uint32_t dcb = d & 15, deb = (d >> 4) & 15;
             uint32_t dist = ((d >> 8) & 0xffff) +
@@ -1078,7 +1084,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
         // ---- careful path: suspendable at every read/write ----
         for (;;) {
           int32_t e;
-          DECODE(s->lit, 10, e);
+          DECODE(s->lit, LIT_RB, e);
           if (E_FLAGS(e) != F_SYMBOL) BAD("invalid literal/length");
           int nb = E_NBITS(e);
           int sym = E_VALUE(e);
@@ -1111,7 +1117,7 @@ int tpuz_inflate_run(TpuzInflate* s, const uint8_t* __restrict src,
       }
       case M_DISTSYM: {
         int32_t e;
-        DECODE(s->dist, 8, e);
+        DECODE(s->dist, DIST_RB, e);
         if (E_FLAGS(e) != F_SYMBOL) BAD("invalid distance code");
         int sym = E_VALUE(e);
         if (sym > 29) BAD("invalid distance code");
