@@ -331,6 +331,7 @@ def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
         o = off0
         new_done, new_bad = done, bad
         pos_new = pos
+        slots = []
         for u in range(UNROLL):
             can = o <= BUDGET  # lane still has window bits for a symbol
             p = peek32(jnp.minimum(o, BUDGET))
@@ -368,7 +369,7 @@ def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
             packed = jnp.where(
                 write, packed,
                 jnp.where(nopped, KIND_NOP << 26, 2 << 26))
-            cmds = cmds.at[i + u].set(packed)
+            slots.append(packed)
             new_bad = new_bad | (~new_done & sym_bad)
             adv = jnp.where(write & ~is_end, c1 + c2,
                             jnp.where(write & is_end, c1, 0))
@@ -378,6 +379,8 @@ def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
             nreal = nreal + write.astype(jnp.int32)
             if stop_counts is not None:
                 new_done = new_done | ((stop_counts > 0) & (nreal >= stop_counts))
+        # one [UNROLL, b] update per step instead of UNROLL row writes
+        cmds = jax.lax.dynamic_update_slice(cmds, jnp.stack(slots), (i, 0))
         return i + UNROLL, pos_new, new_done, new_bad, nreal, cmds
 
     def cond(carry):
