@@ -137,3 +137,30 @@ def test_lzo_decoder_robust(data):
         lzo.uncompress_with_buffer(data)
     except (lzo.LzoError, ValueError):
         pass
+
+
+@settings(deadline=None, max_examples=8,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(st.binary(min_size=600, max_size=6000), st.sampled_from([4, 7, 10, 14]))
+def test_device_decode_any_window(data, nw):
+    """Member-parallel decode is byte-exact for ANY decode-window size:
+    small windows exercise the NOP slot machinery, large ones the
+    straight path; the serial fallback stays correct either way."""
+    import numpy as np
+
+    from decompress_tpu import de
+    from decompress_tpu.ops import inflate as iops
+    from decompress_tpu.parallel import (
+        sharded_gzip_compress,
+        sharded_gzip_decompress,
+    )
+
+    payload = data * 3  # some matches across copies
+    arch = sharded_gzip_compress(payload, 6, member_size=4096)
+    old = iops.NW_DEFAULT
+    iops.NW_DEFAULT = nw
+    try:
+        assert sharded_gzip_decompress(de._np_u8(arch)) == payload
+    finally:
+        iops.NW_DEFAULT = old
