@@ -15,8 +15,11 @@ LOG=/tmp/chip_measurements.log
 note() { echo "=== $* ===" | tee -a "$LOG"; }
 
 note "tunnel probe"
-timeout 90 python -c "import jax; print(jax.devices())" 2>&1 | tail -1 | tee -a "$LOG" || {
-  echo "tunnel down - aborting" | tee -a "$LOG"; exit 1; }
+if ! timeout 90 python -c "import jax; print(jax.devices())" >> "$LOG" 2>&1; then
+  echo "tunnel down - aborting" | tee -a "$LOG"
+  exit 1
+fi
+tail -1 "$LOG"
 
 note "lz77 ablation: full graph (level 6)"
 timeout 2400 python scripts/ablate_lz77.py 2>&1 | tail -3 | tee -a "$LOG"
