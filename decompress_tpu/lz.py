@@ -20,6 +20,8 @@ Both emit the same Queue int packing, so `de.encode_commands` /
 
 from __future__ import annotations
 
+from collections import deque
+
 from . import de
 from .streaming import Queue
 
@@ -38,102 +40,142 @@ def make_window(bits: int = 15) -> int:
     return 1 << bits
 
 
-def _matcher(data: bytes, max_dist: int = _WSIZE, chain: int = 8):
-    """Greedy rolling-hash matcher: yields packed Queue commands.
+class _MatchState:
+    """Greedy rolling-hash matcher whose window SURVIVES across feeds.
+
+    The reference carries its hash chains and the last window of bytes
+    across `src` calls (lz.ml:308–352), so a match in feed N can copy
+    from feed N-1.  This is the same design in host Python: positions
+    are absolute stream offsets, `hist` retains the last `max_dist`
+    (plus slack) bytes, and the head/prev tables hold absolute
+    positions pruned with the window.
 
     Head-table + short chain walk, exact byte extension — the
     reference Lz design (single configuration; levels collapse,
     lz.ml:530–541)."""
-    n = len(data)
-    head: dict[int, int] = {}
-    prev: dict[int, int] = {}  # pos -> previous same-hash pos
-    i = 0
-    while i + _MIN <= n:
-        key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
-        j = head.get(key, -1)
-        best_len = 0
-        best_dist = 0
-        depth = 0
-        jj = j
-        limit = min(_MAX, n - i)
-        while jj >= 0 and i - jj <= max_dist and depth < chain:
-            l = 0
-            while l < limit and data[jj + l] == data[i + l]:
-                l += 1
-            if l > best_len:
-                best_len = l
-                best_dist = i - jj
-                if l >= limit:
-                    break
-            jj = prev.get(jj, -1)
-            depth += 1
-        prev[i] = j
-        head[key] = i
-        if best_len >= _MIN:
-            yield de.cmd_copy(best_dist, best_len)
-            # insert sparse hashes inside the match (every 4th position
-            # keeps the table useful at a fraction of the cost)
-            for k in range(i + 1, min(i + best_len, n - _MIN + 1), 4):
-                k_key = data[k] | (data[k + 1] << 8) | (data[k + 2] << 16)
-                prev[k] = head.get(k_key, -1)
-                head[k_key] = k
-            i += best_len
-        else:
-            yield de.cmd_literal(data[i])
-            i += 1
-    while i < n:
-        yield de.cmd_literal(data[i])
-        i += 1
+
+    def __init__(self, max_dist: int = _WSIZE, chain: int = 8):
+        self.max_dist = max_dist
+        self.chain = chain
+        self.hist = bytearray()
+        self.base = 0  # absolute stream offset of hist[0]
+        self.head: dict[int, int] = {}  # 3-byte key -> newest abs pos
+        self.prev: dict[int, int] = {}  # abs pos -> previous same-key pos
+        self.done = 0  # absolute offset of the first unprocessed byte
+
+    def _trim(self) -> None:
+        keep_from = self.done - self.max_dist
+        if keep_from - self.base >= 3 * self.max_dist:
+            del self.hist[: keep_from - self.base]
+            self.base = keep_from
+            self.head = {k: v for k, v in self.head.items() if v >= keep_from}
+            self.prev = {k: v for k, v in self.prev.items()
+                         if k >= keep_from and v >= keep_from}
+
+    def feed(self, data: bytes, final: bool):
+        """Append ``data`` and yield packed Queue commands.
+
+        Unless ``final``, a MAX_MATCH lookahead tail is retained
+        unprocessed so no match is ever truncated by a feed boundary."""
+        self.hist += data
+        hist, base = self.hist, self.base
+        end = base + len(hist)
+        stop = end if final else max(self.done, end - _MAX)
+        head, prev = self.head, self.prev
+        max_dist, chain = self.max_dist, self.chain
+        i = self.done
+        while i < stop and i + _MIN <= end:
+            p = i - base
+            key = hist[p] | (hist[p + 1] << 8) | (hist[p + 2] << 16)
+            j = head.get(key, -1)
+            best_len = 0
+            best_dist = 0
+            depth = 0
+            jj = j
+            limit = min(_MAX, end - i)
+            while jj >= base and i - jj <= max_dist and depth < chain:
+                q = jj - base
+                l = 0
+                while l < limit and hist[q + l] == hist[p + l]:
+                    l += 1
+                if l > best_len:
+                    best_len = l
+                    best_dist = i - jj
+                    if l >= limit:
+                        break
+                jj = prev.get(jj, -1)
+                depth += 1
+            prev[i] = j
+            head[key] = i
+            if best_len >= _MIN:
+                yield de.cmd_copy(best_dist, best_len)
+                # insert sparse hashes inside the match (every 4th
+                # position keeps the table useful at a fraction of the
+                # cost)
+                for k in range(i + 1, min(i + best_len, end - _MIN + 1), 4):
+                    kp = k - base
+                    k_key = (hist[kp] | (hist[kp + 1] << 8)
+                             | (hist[kp + 2] << 16))
+                    prev[k] = head.get(k_key, -1)
+                    head[k_key] = k
+                i += best_len
+            else:
+                yield de.cmd_literal(hist[p])
+                i += 1
+        if final:
+            while i < end:
+                yield de.cmd_literal(hist[i - base])
+                i += 1
+        self.done = i
+        self._trim()
+
+
+def _matcher(data: bytes, max_dist: int = _WSIZE, chain: int = 8):
+    """One-shot matcher over ``data``: yields packed Queue commands."""
+    return _MatchState(max_dist, chain).feed(bytes(data), final=True)
 
 
 class State:
     """Streaming matcher state (`Lz.state` parity, lz.ml:316–352):
     ``src`` feeds input, ``compress`` drains commands into the queue
-    with "await"/"flush"/"end" tokens."""
+    with "await"/"flush"/"end" tokens.  The match window and hash
+    chains persist across feeds, so copies reference earlier feeds
+    exactly like the reference's sliding window."""
 
     def __init__(self, q: Queue, level: int = 6, *, max_dist: int = _WSIZE):
         self.q = q
         self.level = level
         self.max_dist = max_dist
-        self._buf = bytearray()
-        self._pending: list[int] = []
+        self._m = _MatchState(max_dist=max_dist)
+        self._pending: deque[int] = deque()
         self._eoi = False
         self._ended = False
 
     def src(self, data) -> None:
         data = bytes(data)
         if not data:
-            self._eoi = True
-        self._buf += data
+            if not self._eoi:
+                self._eoi = True
+                self._pending.extend(self._m.feed(b"", final=True))
+        elif self._eoi:
+            raise ValueError("src after end of input")
+        else:
+            self._pending.extend(self._m.feed(data, final=False))
 
     def compress(self) -> str:
-        while True:
-            if self._ended:
-                return "end"
-            if self._pending:
-                while self._pending:
-                    if self.q.is_full():
-                        return "flush"
-                    self.q.push_exn(self._pending.pop(0))
-            if not self._eoi:
-                # keep a MAX_MATCH tail so matches never split across feeds
-                take = len(self._buf) - _MAX
-                if take <= 0:
-                    return "await"
-                chunk = bytes(self._buf[:take])
-                del self._buf[:take]
-            else:
-                chunk = bytes(self._buf)
-                self._buf.clear()
-            if chunk:
-                self._pending = list(_matcher(chunk, self.max_dist))
-                continue
-            if self._eoi:
-                if self.q.is_full():
-                    return "flush"
-                self.q.end_with_eob()
-                self._ended = True
-                return "end"
+        if self._ended:
+            return "end"
+        while self._pending:
+            if self.q.is_full():
+                return "flush"
+            self.q.push_exn(self._pending.popleft())
+        if not self._eoi:
+            return "await"
+        if self.q.is_full():
+            return "flush"
+        self.q.end_with_eob()
+        self._ended = True
+        return "end"
 
 
 def compress_into(q: Queue, data: bytes, level: int = 6, *,

@@ -563,3 +563,56 @@ def test_lz_host_matcher_cross_check():
         pass
     cmds = [int(c) for c in st_q.as_array()]
     assert de.reconstruct(cmds[:-1]) == data
+
+
+def test_lz_state_window_crosses_feeds():
+    """The State matcher's window carries across `src` feeds
+    (lz.ml:308–352): a phrase first seen in feed 1 must be emitted as
+    a COPY when it recurs in feed 2, and chunked State output must
+    match one-shot compress_into on the same bytes."""
+    from decompress_tpu import lz
+
+    phrase = b"the quick brown fox jumps over the lazy dog! "
+    # feed 1 ends mid-way through unique filler; feed 2 repeats the
+    # phrase seen only in feed 1 — a copy requires cross-feed history
+    feed1 = phrase * 4 + bytes(range(200))
+    feed2 = bytes(reversed(range(200))) + phrase * 4
+    q = lz.Queue(1 << 15)
+    st = lz.State(q)
+    st.src(feed1)
+    assert st.compress() == "await"
+    st.src(feed2)
+    st.src(b"")
+    while st.compress() != "end":
+        pass
+    cmds = [int(c) for c in q.as_array()]
+    data = feed1 + feed2
+    assert de.reconstruct(cmds[:-1]) == data
+    # at least one copy in feed-2's phrase region must reach back past
+    # the feed boundary
+    pos = 0
+    cross = False
+    for c in cmds[:-1]:
+        kind, arg = de.cmd_unpack(c)
+        if kind == "literal":
+            pos += 1
+        else:
+            dist, length = arg
+            if pos >= len(feed1) and pos - dist < len(feed1):
+                cross = True
+            pos += length
+    assert cross, "no copy crossed the feed boundary"
+    # chunked State == one-shot on the same bytes (identical commands:
+    # the matcher state is feed-boundary invariant by construction)
+    one_q = lz.Queue(1 << 15)
+    lz.compress_into(one_q, data)
+    chunk_q = lz.Queue(1 << 15)
+    st2 = lz.State(chunk_q)
+    for i in range(0, len(data), 333):
+        st2.src(data[i : i + 333])
+    st2.src(b"")
+    while st2.compress() != "end":
+        pass
+    assert [int(c) for c in chunk_q.as_array()] == [
+        int(c) for c in one_q.as_array()
+    ]
