@@ -281,6 +281,18 @@ class Inf:
         else:
             self._trailer += data
 
+    def clone(self) -> "Inf":
+        """Snapshot mid-stream (reference immutable decoders,
+        zl.ml:146–164 style, shared by Gz.Inf): the copy resumes
+        independently."""
+        import copy
+
+        c = copy.copy(self)
+        c._head = bytearray(self._head)
+        if self._inf is not None:
+            c._inf = self._inf.clone()
+        return c
+
     def _try_header(self) -> str | None:
         """Parse if complete; returns 'await' if more bytes needed."""
         buf = np.frombuffer(bytes(self._head), np.uint8)

@@ -60,6 +60,8 @@ def _load():
         lib.tpuz_lzo1x_compress.argtypes = [
             u8p, ctypes.c_uint64, u8p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_uint64)]
         lib.tpuz_inflate_new.restype = ctypes.c_void_p
+        lib.tpuz_inflate_clone.restype = ctypes.c_void_p
+        lib.tpuz_inflate_clone.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_free.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_reset.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_error.restype = ctypes.c_char_p
@@ -209,6 +211,15 @@ class InflateStream:
 
     def reset(self) -> None:
         self._lib.tpuz_inflate_reset(self._h)
+
+    def clone(self) -> "InflateStream":
+        """Snapshot this decoder's full state (reference immutable-
+        decoder parity, zl.ml:146-164): the copy resumes independently
+        from the same stream position."""
+        c = InflateStream.__new__(InflateStream)
+        c._lib = self._lib
+        c._h = self._lib.tpuz_inflate_clone(self._h)
+        return c
 
     def set_dictionary(self, dict_bytes: bytes) -> None:
         b = bytes(dict_bytes)

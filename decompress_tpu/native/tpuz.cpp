@@ -711,6 +711,15 @@ TpuzInflate* tpuz_inflate_new() {
   return s;
 }
 void tpuz_inflate_free(TpuzInflate* s) { free(s); }
+// Snapshot a decoder mid-stream (reference "immutable style" decoders,
+// zl.ml:146-164: a copied decoder value resumes independently).  The
+// struct is flat POD — err points at static strings — so one memcpy
+// captures the bit buffer, mode, tables, and window.
+TpuzInflate* tpuz_inflate_clone(const TpuzInflate* s) {
+  TpuzInflate* c = (TpuzInflate*)malloc(sizeof(TpuzInflate));
+  if (c) memcpy(c, s, sizeof(*c));
+  return c;
+}
 void tpuz_inflate_reset(TpuzInflate* s) {
   uint32_t keep_limit = s->win_limit ? s->win_limit : 32768;
   memset(s, 0, sizeof(*s));

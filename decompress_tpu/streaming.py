@@ -237,6 +237,17 @@ class Inflate:
         de.ml:1459–1466)."""
         return self._given_back
 
+    def clone(self) -> "Inflate":
+        """Snapshot this decoder mid-stream (reference immutable-style
+        decoders, zl.ml:146–164, exercised by test.ml:1450–1496): the
+        returned copy resumes independently — feeding one never affects
+        the other."""
+        import copy
+
+        c = copy.copy(self)
+        c._stream = self._stream.clone()
+        return c
+
     def reset(self) -> None:
         """Reuse this decoder for a new stream (reference `reset`,
         de.ml:1512–1532: allocations are kept)."""

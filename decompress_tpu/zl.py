@@ -152,6 +152,16 @@ class Inf:
             return
         self._trailer += data
 
+    def clone(self) -> "Inf":
+        """Snapshot mid-stream (reference immutable decoders,
+        zl.ml:146–164): the copy resumes independently."""
+        import copy
+
+        c = copy.copy(self)
+        if self._inf is not None:
+            c._inf = self._inf.clone()
+        return c
+
     def _start_body(self) -> str | None:
         cmf, flg = self._head[0], self._head[1]
         if (cmf * 256 + flg) % 31 != 0:
