@@ -701,12 +701,11 @@ def sharded_zlib_compress(
     parts, n_valid, _ = _compress_members(
         arr, level, member_size, mesh, final_flags=final_flags, want_crc=False
     )
-    # per-shard adler, folded in shard order (associative combine)
-    adler = 1
-    for i in range(m):
-        lo = i * member_size
-        part = checksum.adler32(arr[lo : lo + int(n_valid[i])])
-        adler = checksum.adler32_combine(adler, part, int(n_valid[i]))
+    # stream Adler: members tile `arr` consecutively, so the in-order
+    # associative fold over per-member adlers equals ONE adler of the
+    # whole input — no O(members) host loop (each pod process computes
+    # its shard's adler once; the cross-process fold stays the combine)
+    adler = checksum.adler32(arr)
 
     cmf = 0x78
     flg = zl._flevel(level) << 6
