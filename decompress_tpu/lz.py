@@ -62,6 +62,12 @@ class _MatchState:
         self.head: dict[int, int] = {}  # 3-byte key -> newest abs pos
         self.prev: dict[int, int] = {}  # abs pos -> previous same-key pos
         self.done = 0  # absolute offset of the first unprocessed byte
+        # sparse in-match insertions clamped off because their 3 bytes
+        # ran past the feed's end (k+2 >= end); inserted at the next
+        # feed once the bytes exist, keeping chunked output command-
+        # identical to one-shot (at most one per feed: the insertion
+        # stride is 4 and the clamp window is 2 positions wide)
+        self.pending_ins: list[int] = []
 
     def _trim(self) -> None:
         keep_from = self.done - self.max_dist
@@ -82,6 +88,20 @@ class _MatchState:
         end = base + len(hist)
         stop = end if final else max(self.done, end - _MAX)
         head, prev = self.head, self.prev
+        if self.pending_ins:
+            # replay insertions the previous feed clamped off, in
+            # position order, exactly as the one-shot loop would have
+            still = []
+            for k in self.pending_ins:
+                if k + _MIN <= end:
+                    kp = k - base
+                    k_key = (hist[kp] | (hist[kp + 1] << 8)
+                             | (hist[kp + 2] << 16))
+                    prev[k] = head.get(k_key, -1)
+                    head[k_key] = k
+                else:
+                    still.append(k)
+            self.pending_ins = still
         max_dist, chain = self.max_dist, self.chain
         i = self.done
         while i < stop and i + _MIN <= end:
@@ -112,12 +132,19 @@ class _MatchState:
                 # insert sparse hashes inside the match (every 4th
                 # position keeps the table useful at a fraction of the
                 # cost)
-                for k in range(i + 1, min(i + best_len, end - _MIN + 1), 4):
+                ins_stop = min(i + best_len, end - _MIN + 1)
+                for k in range(i + 1, ins_stop, 4):
                     kp = k - base
                     k_key = (hist[kp] | (hist[kp + 1] << 8)
                              | (hist[kp + 2] << 16))
                     prev[k] = head.get(k_key, -1)
                     head[k_key] = k
+                if not final and ins_stop < i + best_len:
+                    # positions in the stride whose 3 bytes run past
+                    # this feed's end: defer to the next feed
+                    first = i + 1 + ((ins_stop - i - 1 + 3) // 4) * 4
+                    self.pending_ins.extend(
+                        range(first, i + best_len, 4))
                 i += best_len
             else:
                 yield de.cmd_literal(hist[p])

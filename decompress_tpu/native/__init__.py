@@ -219,6 +219,8 @@ class InflateStream:
         c = InflateStream.__new__(InflateStream)
         c._lib = self._lib
         c._h = self._lib.tpuz_inflate_clone(self._h)
+        if not c._h:  # malloc failure returns NULL; never pass it on
+            raise MemoryError("tpuz_inflate_clone failed")
         return c
 
     def set_dictionary(self, dict_bytes: bytes) -> None:

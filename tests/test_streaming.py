@@ -616,3 +616,76 @@ def test_lz_state_window_crosses_feeds():
     assert [int(c) for c in chunk_q.as_array()] == [
         int(c) for c in one_q.as_array()
     ]
+
+
+def _lz_oneshot_cmds(data: bytes):
+    from decompress_tpu import lz
+
+    q = lz.Queue(1 << 16)
+    lz.compress_into(q, data)
+    return [int(c) for c in q.as_array()]
+
+
+def _lz_chunked_cmds(data: bytes, chunk: int):
+    from decompress_tpu import lz
+
+    q = lz.Queue(1 << 16)  # holds every command: no flush cycles
+    st = lz.State(q)
+    for i in range(0, len(data), chunk):
+        st.src(data[i : i + chunk])
+    st.src(b"")
+    while st.compress() != "end":
+        pass
+    return [int(c) for c in q.as_array()]
+
+
+def test_lz_state_pending_insert_at_feed_edge():
+    """A _MAX-length match ending one byte before a feed's end clamps
+    its last sparse hash insertion (k+2 past the feed); the insertion
+    must be replayed on the next feed or chunked output diverges from
+    one-shot (advisor finding, round 3).  Construction puts the match
+    at i = end-_MAX-1 so the clamped position is exactly end-2."""
+    import numpy as np
+
+    from decompress_tpu import lz
+
+    rng = np.random.default_rng(42)
+    block = bytes(int(b) for b in rng.integers(0, 0xA0, 258))
+    sep = b"\xE0\xE1\xE2\xE3\xE4"
+    feed1 = block + sep + block + b"\xFF"  # second block ends at N-2
+    # feed 2 recurs the boundary-straddling 3-gram (block[-1], FF, EE)
+    feed2 = b"\xEE\xDD\xCC" + block[-1:] + b"\xFF\xEE" + b"\xBB\xAA"
+    data = feed1 + feed2
+
+    # white-box: the clamped insertion is actually pending after feed 1
+    st = lz.State(lz.Queue(1 << 16))
+    st.src(feed1)
+    assert st._m.pending_ins == [len(feed1) - 2]
+
+    one = _lz_oneshot_cmds(data)
+    q = lz.Queue(1 << 16)
+    st2 = lz.State(q)
+    st2.src(feed1)
+    st2.src(feed2)
+    st2.src(b"")
+    while st2.compress() != "end":
+        pass
+    assert [int(c) for c in q.as_array()] == one
+    assert de.reconstruct(one[:-1]) == data
+
+
+def test_lz_state_chunked_bitexact_stress():
+    """Chunked State output is command-identical to one-shot across
+    adversarial chunk sizes on small-alphabet data (dense long
+    matches exercise every feed-boundary clamp path)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for trial in range(6):
+        n = int(rng.integers(600, 2600))
+        data = bytes(int(b) for b in rng.integers(0, 3, n))
+        one = _lz_oneshot_cmds(data)
+        assert de.reconstruct(one[:-1]) == data
+        for chunk in (1 + trial, 257, 258, 259, 333):
+            got = _lz_chunked_cmds(data, chunk)
+            assert got == one, (trial, chunk)
