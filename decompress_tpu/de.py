@@ -628,10 +628,11 @@ def _get_pack_jit():
     from .ops import codes as codes_ops
 
     @functools.partial(jax.jit,
-                       static_argnames=("out_words", "n_splits", "split_stride"))
+                       static_argnames=("out_words", "n_splits",
+                                        "split_stride", "split_bits"))
     def pack(on_path, is_match, length, dist, sym_lit, hdr_vals, hdr_bits,
              lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits,
-             out_words, n_splits=0, split_stride=2048):
+             out_words, n_splits=0, split_stride=2048, split_bits=0):
         # code indices, extra-bit counts and extra-bit values are all
         # elementwise arithmetic (ops/codes.py): the only gathers left
         # are the per-segment canonical-code tables themselves
@@ -696,8 +697,21 @@ def _get_pack_jit():
         # instead of a per-boundary reduction loop.
         bsz2 = on_path.shape[0]
         nslots = n_splits - 1
-        jidx = cmdi // split_stride
-        sel = on_path & (cmdi > 0) & (cmdi % split_stride == 0) & (jidx <= nslots)
+        if split_bits:
+            # fixed-BIT-stride splits (the Pallas decoder's preferred
+            # geometry): boundary j goes to the command whose bit span
+            # CONTAINS j*split_bits.  Commands are <= 48 bits, so each
+            # command contains at most one boundary and the scatter
+            # stays collision-free; spans between split points are
+            # bounded by split_bits + 48, which bounds the decoder's
+            # per-lane word slabs and its lane drift.
+            jidx = (boff + posbits - 1) // split_bits
+            sel = (on_path & (cmdi > 0) & (jidx > (boff - 1) // split_bits)
+                   & (jidx >= 1) & (jidx <= nslots))
+        else:
+            jidx = cmdi // split_stride
+            sel = (on_path & (cmdi > 0) & (cmdi % split_stride == 0)
+                   & (jidx <= nslots))
         rowi = jnp.arange(bsz2, dtype=jnp.int32)[:, None]
         slot = jnp.where(sel, rowi * nslots + (jidx - 1), bsz2 * nslots)
 
@@ -717,13 +731,14 @@ def _get_pack_jit():
 
 def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
                    dist_codes, dist_bits, eob_vals, eob_bits, out_words,
-                   n_splits: int = 0, split_stride: int = 2048):
+                   n_splits: int = 0, split_stride: int = 2048,
+                   split_bits: int = 0):
     pack = _get_pack_jit()
     return pack(
         res["on_path"], res["is_match"], res["length"], res["dist"], sym_lit,
         hdr_vals, hdr_bits, lit_codes, lit_bits, dist_codes, dist_bits,
         eob_vals, eob_bits, out_words=out_words, n_splits=n_splits,
-        split_stride=split_stride,
+        split_stride=split_stride, split_bits=split_bits,
     )
 
 

@@ -1,0 +1,567 @@
+"""Pallas device inflate: the in-kernel symbol decode loop.
+
+Round-4 escape hatch from XLA's ~6 ns/element gather wall (PERF.md
+"Round 4"): Mosaic lowers `jnp.take_along_axis(x2d, idx2d, axis=1)` to
+`tpu.dynamic_gather` for (R, 128) int32 operands — a per-lane vector
+lookup into a 128-entry per-row table at ~0.1 ns/lookup, extendable to
+1024-2048-entry tables by a select-tree over 128-wide blocks at
+0.09-0.35 ns/lookup (scripts/microbench_dyngather{,_width}.py, measured
+on chip).  This module rebuilds the member-parallel DEFLATE symbol
+decoder (ops/inflate.py `decode_symbols`, itself the TPU replacement
+for the reference's byte-serial hot loop, de.ml:1054-1261) around that
+primitive:
+
+* decode tables become two-level: a ROOT_BITS-bit root (1024 entries,
+  8-block select-tree) plus 32-slot subtables for 11..15-bit codes
+  (the zlib two-level construction — cf. reference `De.Lookup`,
+  de.ml:660-720 — but with fixed 2^5 subtable slots so the sub lookup
+  is one more select-tree);
+* each 128-lane row of the kernel carries its OWN table set (rows =
+  one member's splits), so per-member dynamic trees keep full speed —
+  the failure mode of the MXU one-hot design;
+* the bit streams are staged as per-lane RELATIVE word slabs
+  (slab[w, r, j] = word w of lane (r, j)'s split, counted from its
+  start), and a per-ROW scalar window base (the row minimum of the
+  lane word cursors) turns the per-lane window read into a bounded
+  where-chain over a dynamically sliced (W, 1, 128) region — the only
+  dynamic indexing Mosaic permits.  Lanes that run more than W words
+  ahead of their row's slowest lane stall on NOP slots; bit-stride
+  split points (parallel/sharded.py) bound the drift.
+
+Output format, NOP/stop semantics, and the ok-flag contract are
+identical to `decode_symbols`, so the sharded decode path can swap
+kernels per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..core import tables
+
+ROOT_BITS = 10
+ROOT_SIZE = 1 << ROOT_BITS
+SUB_BITS = 15 - ROOT_BITS
+SUB_SLOTS = 1 << SUB_BITS            # fixed 32-entry subtables
+LITSUB_SIZE = 2048                   # 64 distinct long prefixes
+DISTSUB_SIZE = 1024                  # 32 distinct long prefixes
+
+#: fused entry, SAME layout for lit and dist tables (int32, 28 bits):
+#: cls(3)<<24 | nb(4)<<20 | xtr(4)<<16 | pay(16)
+#: lit cls:  0 invalid, 1 literal (pay=byte), 2 length (pay=base-3),
+#:           3 end-of-block, 4 subptr (pay=sub_base, nb=ROOT_BITS)
+#: dist cls: 0 invalid, 1 dist (pay=base-1), 4 subptr
+#: nb is the FULL code length for resolved entries (root and sub).
+CLS_INVALID = 0
+CLS_LIT = 1
+CLS_LEN = 2
+CLS_EOB = 3
+CLS_SUB = 4
+
+
+def _entry(cls, nb, xtr, pay):
+    return (cls << 24) | (nb << 20) | (xtr << 16) | pay
+
+
+def _canonical_codes(lens):
+    """MSB-first canonical code per symbol from code lengths [S]."""
+    oneh = (lens[:, None] == jnp.arange(1, 16)[None, :]).astype(jnp.int32)
+    bl_count = oneh.sum(0)
+    codes = []
+    code = jnp.int32(0)
+    for l in range(1, 16):
+        codes.append(code)
+        code = (code + bl_count[l - 1]) << 1
+    first = jnp.stack(codes)
+    rank = jnp.cumsum(oneh, axis=0) - 1
+    return jnp.sum(oneh * (first[None, :] + rank), axis=1)
+
+
+def _scatter_cummax_table(size, idx, end_idx, entry, tag, end_tag,
+                          block=None):
+    """Range-fill a decode table: scatter (tag<<W | entry plane) at
+    range starts and bare end sentinels at range ends, then cummax.
+    ``block`` limits the cummax to 32-slot blocks (subtables).  Entries
+    are 28 bits -> two 17-bit planes (int64 unavailable)."""
+    W = 17
+    acc = None
+    pos_tag = tag.astype(jnp.uint32) << W
+    e_tag = end_tag.astype(jnp.uint32) << W
+    for pl_ in range(2):
+        pe = ((entry >> (pl_ * W)) & ((1 << W) - 1)).astype(jnp.uint32)
+        t = jnp.zeros(size, jnp.uint32)
+        t = t.at[idx].max(pos_tag | pe, mode="drop")
+        t = t.at[end_idx].max(e_tag, mode="drop")
+        if block is None:
+            t = jax.lax.cummax(t)
+        else:
+            t = jax.lax.cummax(t.reshape(-1, block), axis=1).reshape(-1)
+        plane = (t & ((1 << W) - 1)).astype(jnp.int32)
+        acc = plane if acc is None else acc | (plane << (pl_ * W))
+    return acc
+
+
+def _build_one_root_sub(lens, make_entry, sub_size):
+    """Root-ROOT_BITS + 32-slot-subtable build from code lengths [S].
+
+    Returns (root int32[ROOT_SIZE], sub int32[sub_size], n_sub_prefixes
+    int32) — callers check n_sub_prefixes * 32 <= sub_size (overflow
+    routes the batch to the XLA kernel).
+    """
+    S = lens.shape[0]
+    l = lens
+    code = _canonical_codes(l)
+    valid = l > 0
+    short = valid & (l <= ROOT_BITS)
+    long_ = l > ROOT_BITS
+
+    # --- long-code prefixes -> dense subtable ranks -----------------
+    BIG = jnp.int32(1 << 20)
+    pfx = jnp.where(long_, code >> (l - ROOT_BITS), BIG)
+    sp = jnp.sort(pfx)
+    is_new = (sp != jnp.concatenate([jnp.full(1, -1, jnp.int32), sp[:-1]])) \
+        & (sp < BIG)
+    uniq = jnp.sort(jnp.where(is_new, sp, BIG))
+    rank = jnp.searchsorted(uniq, pfx).astype(jnp.int32)
+    n_sub = jnp.sum(is_new.astype(jnp.int32))
+    sub_base = rank * SUB_SLOTS
+
+    entry = make_entry(jnp.arange(S), l)
+
+    # --- root table --------------------------------------------------
+    # short codes own [code << (10-l), (code+1) << (10-l)); long-code
+    # prefixes own exactly one slot holding the subptr entry
+    r_start = jnp.where(short, code << (ROOT_BITS - jnp.minimum(l, ROOT_BITS)),
+                        jnp.where(long_, pfx, ROOT_SIZE))
+    r_size = jnp.where(short,
+                       1 << (ROOT_BITS - jnp.minimum(l, ROOT_BITS)),
+                       jnp.where(long_, 1, 0))
+    r_entry = jnp.where(short, entry,
+                        _entry(CLS_SUB, ROOT_BITS, 0, 0)
+                        | jnp.minimum(sub_base, 0xFFFF))
+    r_idx = jnp.where(valid, r_start, ROOT_SIZE)
+    r_end = jnp.where(valid, r_start + r_size, ROOT_SIZE)
+    root = _scatter_cummax_table(
+        ROOT_SIZE, r_idx, r_end, r_entry, r_start, r_start + r_size)
+
+    # --- subtables ----------------------------------------------------
+    # code low bits (l - 10 of them) positioned in a 32-slot block
+    low = code - (pfx << jnp.maximum(l - ROOT_BITS, 0))
+    s_start = jnp.where(long_,
+                        sub_base + (low << (15 - jnp.maximum(l, 1))), sub_size)
+    s_size = jnp.where(long_, 1 << (15 - jnp.minimum(l, 15)), 0)
+    s_end_raw = s_start + s_size
+    # block-local cummax: an end at a 32-boundary needs no sentinel
+    s_end = jnp.where((s_end_raw & (SUB_SLOTS - 1)) == 0, sub_size, s_end_raw)
+    # block-local tags (5 bits)
+    s_tag = s_start & (SUB_SLOTS - 1)
+    s_etag = s_tag + s_size
+    sub = _scatter_cummax_table(
+        sub_size, jnp.where(long_, s_start, sub_size), s_end, entry,
+        s_tag, s_etag, block=SUB_SLOTS)
+    return root, sub, n_sub
+
+
+def _lit_entry(sym, l):
+    lbase = jnp.asarray(tables.LENGTH_BASE, jnp.int32)
+    lextra = jnp.asarray(tables.LENGTH_EXTRA, jnp.int32)
+    is_lit = sym < 256
+    is_eob = sym == 256
+    lcode = jnp.clip(sym - 257, 0, 28)
+    cls = jnp.where(is_lit, CLS_LIT, jnp.where(is_eob, CLS_EOB, CLS_LEN))
+    cls = jnp.where(sym > 285, CLS_INVALID, cls)
+    xtr = jnp.where(sym > 256, lextra[lcode], 0)
+    pay = jnp.where(is_lit, sym, jnp.where(is_eob, 0, lbase[lcode] - 3))
+    e = _entry(cls, jnp.minimum(l, 15), xtr, pay)
+    return jnp.where((l > 0) & (cls != CLS_INVALID), e, 0)
+
+
+def _dist_entry(sym, l):
+    dbase = jnp.asarray(tables.DIST_BASE, jnp.int32)
+    dextra = jnp.asarray(tables.DIST_EXTRA, jnp.int32)
+    scode = jnp.clip(sym, 0, 29)
+    ok = sym < 30
+    e = _entry(CLS_LIT, jnp.minimum(l, 15), dextra[scode], dbase[scode] - 1)
+    return jnp.where((l > 0) & ok, e, 0)
+
+
+@jax.jit
+def build_row_tables(lit_lens, dist_lens):
+    """Per-ROW decode tables for the Pallas kernel.
+
+    lit_lens int32[R, 288], dist_lens int32[R, 32] (row = the member
+    serving that 128-lane row) ->
+    (lit_root [R,1024], lit_sub [R,2048], dist_root [R,1024],
+    dist_sub [R,1024], ok [R] bool).  ``ok`` is False when a tree's
+    long-code prefixes overflow the fixed subtable space (callers fall
+    back to the XLA kernel; unreachable for real DEFLATE trees, which
+    have <= 288 symbols and nearly always <= 30 long prefixes).
+    """
+    lr, ls, ln = jax.vmap(
+        lambda l: _build_one_root_sub(l, _lit_entry, LITSUB_SIZE))(lit_lens)
+    dr, ds, dn = jax.vmap(
+        lambda l: _build_one_root_sub(l, _dist_entry, DISTSUB_SIZE))(dist_lens)
+    ok = (ln * SUB_SLOTS <= LITSUB_SIZE) & (dn * SUB_SLOTS <= DISTSUB_SIZE)
+    return lr, ls, dr, ds, ok
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+#: lanes per row (the take_along_axis gather width) — fixed by the VPU
+LANES = 128
+#: rows per grid block: every vector op in the kernel is one (8, 128)
+#: vreg at R=8
+R_BLOCK = 8
+#: kind written for stalled/exhausted slots (same as ops.inflate)
+KIND_NOP = 3
+
+
+def _rev15(x):
+    """Reverse the low 15 bits of a uint32 vector."""
+    u32 = jnp.uint32
+    x = x & u32(0x7FFF)
+    x = ((x & u32(0x5555)) << 1) | ((x >> 1) & u32(0x5555))
+    x = ((x & u32(0x3333)) << 2) | ((x >> 2) & u32(0x3333))
+    x = ((x & u32(0x0F0F)) << 4) | ((x >> 4) & u32(0x0F0F))
+    x = ((x & u32(0x00FF)) << 8) | ((x >> 8) & u32(0x00FF))
+    return x >> 1
+
+
+def _seltree_lookup(tab_ref, idx, nblocks):
+    """Per-row table lookup: out[r, j] = tab[r, idx[r, j]] synthesized
+    from `nblocks` native 128-wide lane gathers + a where chain
+    (measured 0.09-0.35 ns/lookup on chip)."""
+    lo = idx & (LANES - 1)
+    hi = idx >> 7
+    v = None
+    for k in range(nblocks):
+        blk = tab_ref[:, LANES * k:LANES * (k + 1)]
+        g = jnp.take_along_axis(blk, lo, axis=1)
+        v = g if v is None else jnp.where(hi == k, g, v)
+    return v
+
+
+#: slot-chunk height: the output block DMA'd per grid step; the decode
+#: state (bit cursors, done/bad masks, real counts) persists in VMEM
+#: scratch across chunks, so max_slots is unbounded by VMEM and blocks
+#: whose rows all finished skip the compute for their remaining chunks
+SLOT_CHUNK = 256
+
+
+def _decode_kernel(wl: int, window: int, r_block: int):
+    """Build the kernel body (static shapes closed over)."""
+    W = window
+    u32 = jnp.uint32
+
+    def kernel(sb_ref, sc_ref, slab_ref, lr_ref, ls_ref, dr_ref, ds_ref,
+               out_ref, ok_ref, o_s, done_s, bad_s, nreal_s):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _init():
+            o_s[...] = sb_ref[...]
+            done_s[...] = jnp.where(sc_ref[...] < 0, 1, 0).astype(jnp.int32)
+            bad_s[...] = jnp.zeros_like(sb_ref[...])
+            nreal_s[...] = jnp.zeros_like(sb_ref[...])
+
+        stop = jnp.maximum(sc_ref[...], 0)
+
+        def step(s, carry):
+            # done/bad ride as int32 masks: Mosaic fails to legalize
+            # scf.for with i1-vector carries (probed on chip)
+            o, done_i, bad_i, nreal = carry
+            done = done_i != 0
+            bad = bad_i != 0
+            wordpos = jax.lax.shift_right_logical(o, 5)
+            # per-row scalar window base: min word cursor over live lanes
+            wins = []
+            for r in range(r_block):
+                live_wp = jnp.where(done[r:r + 1, :], jnp.int32(1 << 20),
+                                    wordpos[r:r + 1, :])
+                base_r = jnp.minimum(jnp.min(live_wp), jnp.int32(wl - W))
+                base_r = jnp.maximum(base_r, 0)
+                wins.append(
+                    (base_r, slab_ref[pl.ds(base_r, W), r:r + 1, :]))
+            win = jnp.concatenate([w for _, w in wins], axis=1)  # (W,R,128)
+            base = jnp.concatenate(
+                [jnp.full((1, LANES), b, jnp.int32) for b, _ in wins], axis=0)
+            rel = wordpos - base
+            # lanes too far ahead of their row's base stall this step
+            can = rel <= (W - 4)
+            w0 = jnp.zeros_like(o).astype(u32)
+            w1 = jnp.zeros_like(w0)
+            w2 = jnp.zeros_like(w0)
+            for k in range(W):
+                wk = win[k].astype(u32)
+                w0 = jnp.where(rel == k, wk, w0)
+                w1 = jnp.where(rel == k - 1, wk, w1)
+                w2 = jnp.where(rel == k - 2, wk, w2)
+
+            sh = (o & 31).astype(u32)
+            hi1 = jnp.where(sh == 0, u32(0), w1 << ((u32(32) - sh) & u32(31)))
+            peek = (w0 >> sh) | hi1
+            idx15 = _rev15(peek).astype(jnp.int32)
+            e = _seltree_lookup(lr_ref, idx15 >> SUB_BITS, ROOT_SIZE // LANES)
+            is_sub = (e >> 24) == CLS_SUB
+            sidx = (e & 0xFFFF) + (idx15 & (SUB_SLOTS - 1))
+            es = _seltree_lookup(ls_ref, sidx, LITSUB_SIZE // LANES)
+            e = jnp.where(is_sub, es, e)
+            cls = e >> 24
+            nb = (e >> 20) & 15
+            xtr = (e >> 16) & 15
+            pay = e & 0xFFFF
+            lext = ((peek >> nb.astype(u32))
+                    & ((u32(1) << xtr.astype(u32)) - u32(1))).astype(jnp.int32)
+            is_len = cls == CLS_LEN
+            is_eob = cls == CLS_EOB
+            value = jnp.where(is_len, pay + 3 + lext, pay)
+            c1 = nb + xtr
+
+            o2 = o + c1
+            hop = jax.lax.shift_right_logical(o2, 5) - wordpos
+            wa = jnp.where(hop == 0, w0, w1)
+            wb = jnp.where(hop == 0, w1, w2)
+            sh2 = (o2 & 31).astype(u32)
+            hi2 = jnp.where(sh2 == 0, u32(0),
+                            wb << ((u32(32) - sh2) & u32(31)))
+            peek2 = (wa >> sh2) | hi2
+            didx = _rev15(peek2).astype(jnp.int32)
+            de_ = _seltree_lookup(dr_ref, didx >> SUB_BITS, ROOT_SIZE // LANES)
+            dis_sub = (de_ >> 24) == CLS_SUB
+            dsidx = (de_ & 0xFFFF) + (didx & (SUB_SLOTS - 1))
+            des = _seltree_lookup(ds_ref, dsidx, DISTSUB_SIZE // LANES)
+            de_ = jnp.where(dis_sub, des, de_)
+            dcls = de_ >> 24
+            dnb = (de_ >> 20) & 15
+            dxn = (de_ >> 16) & 15
+            dext = ((peek2 >> dnb.astype(u32))
+                    & ((u32(1) << dxn.astype(u32)) - u32(1))).astype(jnp.int32)
+            dist = (de_ & 0xFFFF) + 1 + dext
+            c2 = jnp.where(is_len, dnb + dxn, 0)
+
+            sym_bad = ((cls == CLS_INVALID) | (is_len & (dcls == CLS_INVALID))) & can
+            write = ~done & can & ~sym_bad
+            # count-stopped rows: mid-chunk end-of-block is malformed
+            sym_bad = sym_bad | (write & is_eob & (stop > 0))
+            write = write & ~sym_bad
+            nopped = ~done & ~can
+            okind = jnp.where(is_eob, 2, jnp.where(is_len, 1, 0))
+            packed = (okind << 26) | (jnp.where(is_len, dist, 0) << 10) | value
+            packed = jnp.where(
+                write, packed,
+                jnp.where(nopped, jnp.int32(KIND_NOP << 26),
+                          jnp.int32(2 << 26)))
+            out_ref[pl.ds(s, 1), :, :] = packed[None]
+            new_bad = bad | (~done & sym_bad)
+            adv = jnp.where(write & ~is_eob, c1 + c2,
+                            jnp.where(write & is_eob, c1, 0))
+            o = o + adv
+            nreal = nreal + write.astype(jnp.int32)
+            done = done | (write & is_eob) | new_bad \
+                | ((stop > 0) & (nreal >= stop))
+            return (o, done.astype(jnp.int32),
+                    (bad | new_bad).astype(jnp.int32), nreal)
+
+        all_done = jnp.min(done_s[...]) > 0
+
+        @pl.when(all_done)
+        def _fill():
+            out_ref[...] = jnp.full(
+                (SLOT_CHUNK, r_block, LANES), 2 << 26, jnp.int32)
+
+        @pl.when(jnp.logical_not(all_done))
+        def _work():
+            init = (o_s[...], done_s[...], bad_s[...], nreal_s[...])
+            o, done_i, bad_i, nreal = jax.lax.fori_loop(
+                0, SLOT_CHUNK, step, init)
+            o_s[...] = o
+            done_s[...] = done_i
+            bad_s[...] = bad_i
+            nreal_s[...] = nreal
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finish():
+            ok_ref[...] = ((done_s[...] != 0)
+                           & (bad_s[...] == 0)).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("wl", "window", "max_slots", "interpret"))
+def _decode_pallas(start_bits2, stop2, slab, lit_root, lit_sub, dist_root,
+                   dist_sub, wl: int, window: int, max_slots: int,
+                   interpret: bool):
+    """start_bits2/stop2 int32[Rtot,128]; slab uint32[wl,Rtot,128];
+    tables int32[Rtot, ...] -> (slots int32[max_slots,Rtot,128],
+    ok int32[Rtot,128])."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rtot = start_bits2.shape[0]
+    grid = (rtot // R_BLOCK, max_slots // SLOT_CHUNK)
+    kern = _decode_kernel(wl, window, R_BLOCK)
+    slots, ok = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R_BLOCK, LANES), lambda g, c: (g, 0)),
+            pl.BlockSpec((R_BLOCK, LANES), lambda g, c: (g, 0)),
+            pl.BlockSpec((wl, R_BLOCK, LANES), lambda g, c: (0, g, 0)),
+            pl.BlockSpec((R_BLOCK, ROOT_SIZE), lambda g, c: (g, 0)),
+            pl.BlockSpec((R_BLOCK, LITSUB_SIZE), lambda g, c: (g, 0)),
+            pl.BlockSpec((R_BLOCK, ROOT_SIZE), lambda g, c: (g, 0)),
+            pl.BlockSpec((R_BLOCK, DISTSUB_SIZE), lambda g, c: (g, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((SLOT_CHUNK, R_BLOCK, LANES), lambda g, c: (c, g, 0)),
+            pl.BlockSpec((R_BLOCK, LANES), lambda g, c: (g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((max_slots, rtot, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rtot, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R_BLOCK, LANES), jnp.int32) for _ in range(4)
+        ],
+        interpret=interpret,
+    )(start_bits2, stop2, slab, lit_root, lit_sub, dist_root, dist_sub)
+    return slots, ok
+
+
+@functools.partial(jax.jit, static_argnames=("wl",))
+def _build_slab(words, flat_starts, wl: int):
+    """Per-lane relative word slabs: slab[k, lane] =
+    words_flat[flat_starts[lane] + k].  vmapped dynamic_slice lowers to
+    a slice-size-`wl` gather (contiguous runs, near-memcpy on TPU —
+    unlike elementwise gathers)."""
+    flat = words.reshape(-1)
+    sl = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(flat, (s,), (wl,)))(flat_starts)
+    b = flat_starts.shape[0]
+    return sl.T.reshape(wl, b // LANES, LANES)
+
+
+def stage_pl(words, start_bits, stop_counts, row_members,
+             lit_lens, dist_lens, span_bits, max_real,
+             window: int = 32, slot_slack: float = 1.3):
+    """Host-side staging for the Pallas decoder: regroups the B split
+    lanes into 128-lane rows of uniform member (padding each member's
+    lanes with dead slots), builds per-lane word slabs and per-row
+    root/sub tables on device, and returns everything `run_pl` needs.
+    """
+    words = np.asarray(words)
+    start_bits = np.asarray(start_bits, np.int32)
+    stop_counts = np.asarray(stop_counts, np.int32)
+    row_members = np.asarray(row_members, np.int32)
+    span_bits = np.asarray(span_bits, np.int64)
+    b = start_bits.shape[0]
+    wmax = words.shape[1]
+
+    # --- group lanes into uniform-member 128-lane rows ----------------
+    order = np.argsort(row_members, kind="stable")
+    lanes: list[int] = []          # original lane index, -1 = dead pad
+    i = 0
+    while i < len(order):
+        mcur = row_members[order[i]]
+        j = i
+        while j < len(order) and row_members[order[j]] == mcur:
+            j += 1
+        lanes.extend(int(x) for x in order[i:j])
+        lanes.extend([-1] * (-(j - i) % LANES))
+        i = j
+    if not lanes:
+        lanes = [-1] * LANES
+    lanes.extend([-1] * (-len(lanes) % (LANES * R_BLOCK)))
+    lane_arr = np.asarray(lanes, np.int32)
+    bl = lane_arr.size
+    rtot = bl // LANES
+    live = lane_arr >= 0
+    src = np.maximum(lane_arr, 0)
+
+    sb = np.where(live, start_bits[src], 0).astype(np.int32)
+    sc = np.where(live, stop_counts[src], -1).astype(np.int32)
+    rm = np.where(live, row_members[src], words.shape[0] - 1).astype(np.int32)
+    sp = np.where(live, span_bits[src], 0)
+
+    start_words = (sb >> 5).astype(np.int64)
+    wl = int((np.max((sb & 31) + sp) + 48) // 32 + 4)
+    wl = max(window + 8, -(-wl // 8) * 8)
+    flat_starts = (rm.astype(np.int64) * wmax + start_words)
+    # clamp: slabs must stay inside the words buffer (callers pad a
+    # sentinel row; anything beyond decodes as garbage -> ok=False)
+    flat_starts = np.minimum(flat_starts, words.size - wl).astype(np.int32)
+
+    max_slots = int(max_real * slot_slack) + 8
+    max_slots = -(-max_slots // SLOT_CHUNK) * SLOT_CHUNK
+
+    row_member = rm.reshape(rtot, LANES)[:, 0]
+    ll = jnp.asarray(np.asarray(lit_lens, np.int32)[row_member])
+    dl = jnp.asarray(np.asarray(dist_lens, np.int32)[row_member])
+    lr, ls, dr, ds, tab_ok = build_row_tables(ll, dl)
+    slab = _build_slab(jnp.asarray(words.view(np.uint32)
+                                   if words.dtype != np.uint32 else words),
+                       jnp.asarray(flat_starts), wl)
+    return {
+        "sb2": jnp.asarray((sb & 31).reshape(rtot, LANES)),
+        "sc2": jnp.asarray(sc.reshape(rtot, LANES)),
+        "slab": slab, "tabs": (lr, ls, dr, ds), "tab_ok": tab_ok,
+        "wl": wl, "window": window, "max_slots": max_slots,
+        "lane_arr": lane_arr, "live": live, "b": b, "rtot": rtot,
+    }
+
+
+def run_pl(st, interpret: bool = False):
+    """Dispatch the decode kernel on staged inputs (device arrays in,
+    device arrays out — nothing crosses the host link)."""
+    lr, ls, dr, ds = st["tabs"]
+    return _decode_pallas(
+        st["sb2"], st["sc2"], st["slab"], lr, ls, dr, ds,
+        wl=st["wl"], window=st["window"], max_slots=st["max_slots"],
+        interpret=interpret)
+
+
+def finish_pl(st, slots, okm):
+    """Fetch + unscatter kernel outputs back to the caller's lane
+    order; returns (kinds int8[B,S], values, dists int32[B,S], ok[B])."""
+    bl, rtot, max_slots = st["lane_arr"].size, st["rtot"], st["max_slots"]
+    lane_arr, live, b = st["lane_arr"], st["live"], st["b"]
+    cmds = np.asarray(slots).transpose(1, 2, 0).reshape(bl, max_slots)
+    okf = (np.asarray(okm).reshape(bl) != 0) \
+        & np.asarray(st["tab_ok"])[np.arange(rtot).repeat(LANES)]
+    out = np.full((b, max_slots), 2 << 26, np.int32)
+    okout = np.zeros(b, bool)
+    pos = np.nonzero(live)[0]
+    out[lane_arr[pos]] = cmds[pos]
+    okout[lane_arr[pos]] = okf[pos]
+    kinds = (out >> 26).astype(np.int8)
+    values = out & 0x3FF
+    dists = (out >> 10) & 0xFFFF
+    return kinds, values, dists, okout
+
+
+def decode_symbols_pl(words, start_bits, stop_counts, row_members,
+                      lit_lens, dist_lens, span_bits, max_real,
+                      window: int = 32, slot_slack: float = 1.3,
+                      interpret: bool = False):
+    """Pallas-kernel drop-in for ops.inflate.decode_symbols.
+
+    words uint32[M(+1), wmax]; start_bits/stop_counts/row_members/
+    span_bits int32[B] (span_bits bounds each lane's bit consumption —
+    next split's start minus this one's, or the member's remaining
+    bits); lit_lens/dist_lens per member; max_real = max commands any
+    lane decodes.  Returns (kinds int8[B, S], values, dists int32[B, S],
+    ok bool[B]) with S = the kernel's slot count (NOP-slot padded).
+    """
+    st = stage_pl(words, start_bits, stop_counts, row_members,
+                  lit_lens, dist_lens, span_bits, max_real,
+                  window=window, slot_slack=slot_slack)
+    slots, okm = run_pl(st, interpret=interpret)
+    return finish_pl(st, slots, okm)

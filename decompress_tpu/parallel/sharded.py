@@ -155,6 +155,7 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
                 res, d_data[:, hist:],
                 *[_shard_batch(t, mesh) for t in (hdr[0], hdr[1], *tabs)],
                 out_words, n_splits=N_SPLITS, split_stride=SPLIT_STRIDE,
+                split_bits=SPLIT_BITS,
             )
         return (lo, hi, b, cdata, cnv, d_data, kinds, pk)
 
@@ -239,6 +240,14 @@ SPLIT_ID = b"TS"  # FEXTRA subfield: per-member symbol-stream split points
 # most 130561 commands < 64 * 2048).
 N_SPLITS = 64
 SPLIT_STRIDE = 2048
+# Bit-stride alternative (SPLIT_BITS > 0 overrides the command
+# stride): split points go to the command containing each multiple of
+# SPLIT_BITS in the packed body, so every row spans <= SPLIT_BITS + 48
+# stream bits.  This is the geometry the Pallas decode kernel wants —
+# it bounds both the per-lane word slab and the within-row lane drift
+# (ops/inflate_pl.py).  The triple FORMAT is unchanged; either reader
+# decodes either geometry.
+SPLIT_BITS = 0
 
 
 def sharded_gzip_compress(
@@ -423,12 +432,17 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
         # commands, so a member's final row (and a member too short for
         # any split) holds at most stride commands — the first valid
         # triple's command index IS the stride
+        # cap = the largest command count between consecutive split
+        # points (== the stride for command-stride archives; the max
+        # row density for bit-stride ones)
         stride_cap = 0
         if use_splits:
             for i in huff:
                 tri = [t for t in splits[i] if t[0] > 0]
-                if tri:
-                    stride_cap = max(stride_cap, tri[0][1])
+                prev = 0
+                for t in tri:
+                    stride_cap = max(stride_cap, t[1] - prev)
+                    prev = t[1]
         # rows: (member idx, start bit, stop count; 0 = decode to EOB)
         rows: list = []
         row_caps: list = []

@@ -47,8 +47,10 @@ def stage(buf: np.ndarray):
     if splits:
         for i in huff:
             tri = [t for t in splits[i] if t[0] > 0]
-            if tri:
-                stride_cap = max(stride_cap, tri[0][1])
+            prev = 0
+            for t in tri:
+                stride_cap = max(stride_cap, t[1] - prev)
+                prev = t[1]
     rows, row_caps = [], []
     for i in huff:
         (_, ll, dl, start), body, isize = metas[i]
