@@ -722,7 +722,11 @@ def _get_pack_jit():
                 .max(jnp.where(sel, a, 0).ravel(), mode="drop")
             )[: bsz2 * nslots].reshape(bsz2, nslots)
 
-        splits = (scat(boff), scat(cmdi), scat(opos))
+        # total command count per member (EOB included): lets the index
+        # writer derive the final row's density for the compact TB
+        # subfield (sharded._build_index)
+        ncmds = jnp.sum(on_i, axis=1) + 1
+        splits = (scat(boff), scat(cmdi), scat(opos), ncmds)
         return packed, splits
 
     _PACK_JIT = pack

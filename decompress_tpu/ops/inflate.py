@@ -255,7 +255,8 @@ KIND_NOP = 3
 
 
 def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
-                   stop_counts=None, row_members=None, nw: int | None = None):
+                   stop_counts=None, row_members=None, nw: int | None = None,
+                   stop_bits=None):
     """Lockstep symbol decode across B members (or member *chunks*).
 
     words: uint32[M, W]; start_bits: int32[B]; lit_tabs/dist_tabs:
@@ -286,12 +287,13 @@ def decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
     return _decode_symbols(words, start_bits, lit_tabs, dist_tabs,
                            max_cmds=max_cmds, stop_counts=stop_counts,
                            row_members=row_members,
-                           nw=_nw_default() if nw is None else nw)
+                           nw=_nw_default() if nw is None else nw,
+                           stop_bits=stop_bits)
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds", "nw"))
 def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
-                    stop_counts, row_members, nw: int):
+                    stop_counts, row_members, nw: int, stop_bits=None):
     b = start_bits.shape[0]
     M, wmax = words.shape
     words_f = words.reshape(-1)
@@ -357,11 +359,18 @@ def _decode_symbols(words, start_bits, lit_tabs, dist_tabs, max_cmds: int,
             dist = (de_ & 0x7FFF) + 1 + dext
             c2 = jnp.where(is_copy, dnb + dxn, 0)
 
+            if stop_bits is not None:
+                # bit-stopped rows (compact TB index): a lane's commands
+                # are exactly those starting before its stop bit
+                new_done = new_done | ((stop_bits > 0) & (pos_new >= stop_bits))
             sym_bad = ((kind == 0) | (is_copy & ~dvalid)) & can
             write = ~new_done & can & ~sym_bad
-            if stop_counts is not None:
-                # count-stopped rows: mid-chunk end-of-block is malformed
-                sym_bad = sym_bad | (write & is_end & (stop_counts > 0))
+            if stop_counts is not None or stop_bits is not None:
+                # count/bit-stopped rows: mid-chunk end-of-block is
+                # malformed
+                interior = (stop_counts > 0) if stop_counts is not None \
+                    else (stop_bits > 0)
+                sym_bad = sym_bad | (write & is_end & interior)
                 write = write & ~sym_bad
             nopped = ~new_done & ~can
             okind = jnp.where(is_end, 2, jnp.where(is_copy, 1, 0))
@@ -410,6 +419,16 @@ def slot_counts(kinds, stop_counts):
     stopped = jnp.sum((cum < stop_counts[:, None]).astype(jnp.int32), axis=1) + 1
     ended = jnp.argmax(kinds == 2, axis=1).astype(jnp.int32) + 1
     return jnp.where(stop_counts > 0, stopped, ended)
+
+
+@jax.jit
+def slot_counts_bits(kinds, stop_bits):
+    """Slot spans for BIT-stopped rows (compact TB index): interior
+    rows (stop_bits > 0) end at the first END-filler slot, which is NOT
+    part of the row (their real commands carry no end marker); EOB rows
+    include their end marker as before."""
+    first_end = jnp.argmax(kinds == 2, axis=1).astype(jnp.int32)
+    return jnp.where(stop_bits > 0, first_end, first_end + 1)
 
 
 @functools.partial(jax.jit, static_argnames=("max_cmds",))

@@ -255,10 +255,12 @@ def _seltree_lookup(tab_ref, idx, nblocks):
 SLOT_CHUNK = 256
 
 
-def _decode_kernel(wl: int, window: int, r_block: int):
+def _decode_kernel(wl: int, window: int, unroll: int, r_block: int):
     """Build the kernel body (static shapes closed over)."""
     W = window
+    K = unroll
     u32 = jnp.uint32
+    assert SLOT_CHUNK % K == 0
 
     def kernel(sb_ref, sc_ref, slab_ref, lr_ref, ls_ref, dr_ref, ds_ref,
                out_ref, ok_ref, o_s, done_s, bad_s, nreal_s):
@@ -271,103 +273,116 @@ def _decode_kernel(wl: int, window: int, r_block: int):
             bad_s[...] = jnp.zeros_like(sb_ref[...])
             nreal_s[...] = jnp.zeros_like(sb_ref[...])
 
+        # stop semantics: sc carries the slab-relative STOP BIT — a
+        # lane is done once its cursor reaches it (the split's commands
+        # are exactly those starting before the next split's first
+        # command).  0 = decode to end-of-block; -1 = dead pad lane.
         stop = jnp.maximum(sc_ref[...], 0)
 
-        def step(s, carry):
+        def period(pi, carry):
             # done/bad ride as int32 masks: Mosaic fails to legalize
-            # scf.for with i1-vector carries (probed on chip)
+            # scf.for with i1-vector carries (probed on chip).
+            # One scalar window base per K-symbol period: the min live
+            # word cursor over the whole block (bit-stride splits keep
+            # lanes near-uniform, so one base serves all rows); lanes
+            # more than W-4 words ahead stall on NOP slots until the
+            # base catches up — which costs no wall-clock, since the
+            # block runs until its slowest lane finishes anyway.
             o, done_i, bad_i, nreal = carry
             done = done_i != 0
             bad = bad_i != 0
-            wordpos = jax.lax.shift_right_logical(o, 5)
-            # per-row scalar window base: min word cursor over live lanes
-            wins = []
-            for r in range(r_block):
-                live_wp = jnp.where(done[r:r + 1, :], jnp.int32(1 << 20),
-                                    wordpos[r:r + 1, :])
-                base_r = jnp.minimum(jnp.min(live_wp), jnp.int32(wl - W))
-                base_r = jnp.maximum(base_r, 0)
-                wins.append(
-                    (base_r, slab_ref[pl.ds(base_r, W), r:r + 1, :]))
-            win = jnp.concatenate([w for _, w in wins], axis=1)  # (W,R,128)
-            base = jnp.concatenate(
-                [jnp.full((1, LANES), b, jnp.int32) for b, _ in wins], axis=0)
-            rel = wordpos - base
-            # lanes too far ahead of their row's base stall this step
-            can = rel <= (W - 4)
-            w0 = jnp.zeros_like(o).astype(u32)
-            w1 = jnp.zeros_like(w0)
-            w2 = jnp.zeros_like(w0)
-            for k in range(W):
-                wk = win[k].astype(u32)
-                w0 = jnp.where(rel == k, wk, w0)
-                w1 = jnp.where(rel == k - 1, wk, w1)
-                w2 = jnp.where(rel == k - 2, wk, w2)
+            live_wp = jnp.where(done, jnp.int32(1 << 20),
+                                jax.lax.shift_right_logical(o, 5))
+            base_s = jnp.minimum(jnp.min(live_wp), jnp.int32(wl - W))
+            base_s = jnp.maximum(base_s, 0)
+            win = slab_ref[pl.ds(base_s, W), :, :]      # (W, R, 128)
+            slots_out = []
+            for _u in range(K):
+                done = done | ((stop > 0) & (o >= stop))
+                wordpos = jax.lax.shift_right_logical(o, 5)
+                rel = wordpos - base_s
+                # lanes too far ahead of the window stall this step
+                can = rel <= (W - 4)
+                w0 = jnp.zeros_like(o).astype(u32)
+                w1 = jnp.zeros_like(w0)
+                w2 = jnp.zeros_like(w0)
+                for k in range(W):
+                    m = rel == k
+                    w0 = jnp.where(m, win[k].astype(u32), w0)
+                    w1 = jnp.where(m, win[min(k + 1, W - 1)].astype(u32), w1)
+                    w2 = jnp.where(m, win[min(k + 2, W - 1)].astype(u32), w2)
 
-            sh = (o & 31).astype(u32)
-            hi1 = jnp.where(sh == 0, u32(0), w1 << ((u32(32) - sh) & u32(31)))
-            peek = (w0 >> sh) | hi1
-            idx15 = _rev15(peek).astype(jnp.int32)
-            e = _seltree_lookup(lr_ref, idx15 >> SUB_BITS, ROOT_SIZE // LANES)
-            is_sub = (e >> 24) == CLS_SUB
-            sidx = (e & 0xFFFF) + (idx15 & (SUB_SLOTS - 1))
-            es = _seltree_lookup(ls_ref, sidx, LITSUB_SIZE // LANES)
-            e = jnp.where(is_sub, es, e)
-            cls = e >> 24
-            nb = (e >> 20) & 15
-            xtr = (e >> 16) & 15
-            pay = e & 0xFFFF
-            lext = ((peek >> nb.astype(u32))
-                    & ((u32(1) << xtr.astype(u32)) - u32(1))).astype(jnp.int32)
-            is_len = cls == CLS_LEN
-            is_eob = cls == CLS_EOB
-            value = jnp.where(is_len, pay + 3 + lext, pay)
-            c1 = nb + xtr
+                sh = (o & 31).astype(u32)
+                hi1 = jnp.where(sh == 0, u32(0),
+                                w1 << ((u32(32) - sh) & u32(31)))
+                peek = (w0 >> sh) | hi1
+                idx15 = _rev15(peek).astype(jnp.int32)
+                e = _seltree_lookup(lr_ref, idx15 >> SUB_BITS,
+                                    ROOT_SIZE // LANES)
+                is_sub = (e >> 24) == CLS_SUB
+                sidx = (e & 0xFFFF) + (idx15 & (SUB_SLOTS - 1))
+                es = _seltree_lookup(ls_ref, sidx, LITSUB_SIZE // LANES)
+                e = jnp.where(is_sub, es, e)
+                cls = e >> 24
+                nb = (e >> 20) & 15
+                xtr = (e >> 16) & 15
+                pay = e & 0xFFFF
+                lext = ((peek >> nb.astype(u32))
+                        & ((u32(1) << xtr.astype(u32))
+                           - u32(1))).astype(jnp.int32)
+                is_len = cls == CLS_LEN
+                is_eob = cls == CLS_EOB
+                value = jnp.where(is_len, pay + 3 + lext, pay)
+                c1 = nb + xtr
 
-            o2 = o + c1
-            hop = jax.lax.shift_right_logical(o2, 5) - wordpos
-            wa = jnp.where(hop == 0, w0, w1)
-            wb = jnp.where(hop == 0, w1, w2)
-            sh2 = (o2 & 31).astype(u32)
-            hi2 = jnp.where(sh2 == 0, u32(0),
-                            wb << ((u32(32) - sh2) & u32(31)))
-            peek2 = (wa >> sh2) | hi2
-            didx = _rev15(peek2).astype(jnp.int32)
-            de_ = _seltree_lookup(dr_ref, didx >> SUB_BITS, ROOT_SIZE // LANES)
-            dis_sub = (de_ >> 24) == CLS_SUB
-            dsidx = (de_ & 0xFFFF) + (didx & (SUB_SLOTS - 1))
-            des = _seltree_lookup(ds_ref, dsidx, DISTSUB_SIZE // LANES)
-            de_ = jnp.where(dis_sub, des, de_)
-            dcls = de_ >> 24
-            dnb = (de_ >> 20) & 15
-            dxn = (de_ >> 16) & 15
-            dext = ((peek2 >> dnb.astype(u32))
-                    & ((u32(1) << dxn.astype(u32)) - u32(1))).astype(jnp.int32)
-            dist = (de_ & 0xFFFF) + 1 + dext
-            c2 = jnp.where(is_len, dnb + dxn, 0)
+                o2 = o + c1
+                hop = jax.lax.shift_right_logical(o2, 5) - wordpos
+                wa = jnp.where(hop == 0, w0, w1)
+                wb = jnp.where(hop == 0, w1, w2)
+                sh2 = (o2 & 31).astype(u32)
+                hi2 = jnp.where(sh2 == 0, u32(0),
+                                wb << ((u32(32) - sh2) & u32(31)))
+                peek2 = (wa >> sh2) | hi2
+                didx = _rev15(peek2).astype(jnp.int32)
+                de_ = _seltree_lookup(dr_ref, didx >> SUB_BITS,
+                                      ROOT_SIZE // LANES)
+                dis_sub = (de_ >> 24) == CLS_SUB
+                dsidx = (de_ & 0xFFFF) + (didx & (SUB_SLOTS - 1))
+                des = _seltree_lookup(ds_ref, dsidx, DISTSUB_SIZE // LANES)
+                de_ = jnp.where(dis_sub, des, de_)
+                dcls = de_ >> 24
+                dnb = (de_ >> 20) & 15
+                dxn = (de_ >> 16) & 15
+                dext = ((peek2 >> dnb.astype(u32))
+                        & ((u32(1) << dxn.astype(u32))
+                           - u32(1))).astype(jnp.int32)
+                dist = (de_ & 0xFFFF) + 1 + dext
+                c2 = jnp.where(is_len, dnb + dxn, 0)
 
-            sym_bad = ((cls == CLS_INVALID) | (is_len & (dcls == CLS_INVALID))) & can
-            write = ~done & can & ~sym_bad
-            # count-stopped rows: mid-chunk end-of-block is malformed
-            sym_bad = sym_bad | (write & is_eob & (stop > 0))
-            write = write & ~sym_bad
-            nopped = ~done & ~can
-            okind = jnp.where(is_eob, 2, jnp.where(is_len, 1, 0))
-            packed = (okind << 26) | (jnp.where(is_len, dist, 0) << 10) | value
-            packed = jnp.where(
-                write, packed,
-                jnp.where(nopped, jnp.int32(KIND_NOP << 26),
-                          jnp.int32(2 << 26)))
-            out_ref[pl.ds(s, 1), :, :] = packed[None]
-            new_bad = bad | (~done & sym_bad)
-            adv = jnp.where(write & ~is_eob, c1 + c2,
-                            jnp.where(write & is_eob, c1, 0))
-            o = o + adv
-            nreal = nreal + write.astype(jnp.int32)
-            done = done | (write & is_eob) | new_bad \
-                | ((stop > 0) & (nreal >= stop))
-            return (o, done.astype(jnp.int32),
-                    (bad | new_bad).astype(jnp.int32), nreal)
+                sym_bad = ((cls == CLS_INVALID)
+                           | (is_len & (dcls == CLS_INVALID))) & can
+                write = ~done & can & ~sym_bad
+                # count-stopped rows: mid-chunk end-of-block is malformed
+                sym_bad = sym_bad | (write & is_eob & (stop > 0))
+                write = write & ~sym_bad
+                nopped = ~done & ~can
+                okind = jnp.where(is_eob, 2, jnp.where(is_len, 1, 0))
+                packed = ((okind << 26) | (jnp.where(is_len, dist, 0) << 10)
+                          | value)
+                packed = jnp.where(
+                    write, packed,
+                    jnp.where(nopped, jnp.int32(KIND_NOP << 26),
+                              jnp.int32(2 << 26)))
+                slots_out.append(packed)
+                new_bad = bad | (~done & sym_bad)
+                adv = jnp.where(write & ~is_eob, c1 + c2,
+                                jnp.where(write & is_eob, c1, 0))
+                o = o + adv
+                nreal = nreal + write.astype(jnp.int32)
+                done = done | (write & is_eob) | new_bad
+                bad = bad | new_bad
+            out_ref[pl.ds(pi * K, K), :, :] = jnp.stack(slots_out)
+            return (o, done.astype(jnp.int32), bad.astype(jnp.int32), nreal)
 
         all_done = jnp.min(done_s[...]) > 0
 
@@ -380,7 +395,7 @@ def _decode_kernel(wl: int, window: int, r_block: int):
         def _work():
             init = (o_s[...], done_s[...], bad_s[...], nreal_s[...])
             o, done_i, bad_i, nreal = jax.lax.fori_loop(
-                0, SLOT_CHUNK, step, init)
+                0, SLOT_CHUNK // K, period, init)
             o_s[...] = o
             done_s[...] = done_i
             bad_s[...] = bad_i
@@ -388,18 +403,18 @@ def _decode_kernel(wl: int, window: int, r_block: int):
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finish():
-            ok_ref[...] = ((done_s[...] != 0)
-                           & (bad_s[...] == 0)).astype(jnp.int32)
+            done_fin = (done_s[...] != 0) | ((stop > 0) & (o_s[...] >= stop))
+            ok_ref[...] = (done_fin & (bad_s[...] == 0)).astype(jnp.int32)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("wl", "window", "max_slots", "interpret"))
+    static_argnames=("wl", "window", "unroll", "max_slots", "interpret"))
 def _decode_pallas(start_bits2, stop2, slab, lit_root, lit_sub, dist_root,
-                   dist_sub, wl: int, window: int, max_slots: int,
-                   interpret: bool):
+                   dist_sub, wl: int, window: int, unroll: int,
+                   max_slots: int, interpret: bool):
     """start_bits2/stop2 int32[Rtot,128]; slab uint32[wl,Rtot,128];
     tables int32[Rtot, ...] -> (slots int32[max_slots,Rtot,128],
     ok int32[Rtot,128])."""
@@ -407,7 +422,7 @@ def _decode_pallas(start_bits2, stop2, slab, lit_root, lit_sub, dist_root,
 
     rtot = start_bits2.shape[0]
     grid = (rtot // R_BLOCK, max_slots // SLOT_CHUNK)
-    kern = _decode_kernel(wl, window, R_BLOCK)
+    kern = _decode_kernel(wl, window, unroll, R_BLOCK)
     slots, ok = pl.pallas_call(
         kern,
         grid=grid,
@@ -449,17 +464,21 @@ def _build_slab(words, flat_starts, wl: int):
     return sl.T.reshape(wl, b // LANES, LANES)
 
 
-def stage_pl(words, start_bits, stop_counts, row_members,
+def stage_pl(words, start_bits, stop_bits, row_members,
              lit_lens, dist_lens, span_bits, max_real,
-             window: int = 32, slot_slack: float = 1.3):
+             window: int = 64, unroll: int = 8, slot_slack: float = 1.3):
     """Host-side staging for the Pallas decoder: regroups the B split
     lanes into 128-lane rows of uniform member (padding each member's
     lanes with dead slots), builds per-lane word slabs and per-row
     root/sub tables on device, and returns everything `run_pl` needs.
+
+    ``stop_bits``: per-lane ABSOLUTE stop bit (the next split's first
+    command's bit offset; a lane decodes commands starting before it),
+    or 0 to decode until end-of-block (final splits).
     """
     words = np.asarray(words)
     start_bits = np.asarray(start_bits, np.int32)
-    stop_counts = np.asarray(stop_counts, np.int32)
+    stop_bits = np.asarray(stop_bits, np.int64)
     row_members = np.asarray(row_members, np.int32)
     span_bits = np.asarray(span_bits, np.int64)
     b = start_bits.shape[0]
@@ -487,7 +506,10 @@ def stage_pl(words, start_bits, stop_counts, row_members,
     src = np.maximum(lane_arr, 0)
 
     sb = np.where(live, start_bits[src], 0).astype(np.int32)
-    sc = np.where(live, stop_counts[src], -1).astype(np.int32)
+    # slab-relative stop bit: stop - 32*(start word); -1 = dead lane
+    stop_rel = stop_bits[src] - (start_bits[src].astype(np.int64) & ~31)
+    sc = np.where(live & (stop_bits[src] > 0), stop_rel, 0).astype(np.int32)
+    sc = np.where(live, sc, -1).astype(np.int32)
     rm = np.where(live, row_members[src], words.shape[0] - 1).astype(np.int32)
     sp = np.where(live, span_bits[src], 0)
 
@@ -513,7 +535,8 @@ def stage_pl(words, start_bits, stop_counts, row_members,
         "sb2": jnp.asarray((sb & 31).reshape(rtot, LANES)),
         "sc2": jnp.asarray(sc.reshape(rtot, LANES)),
         "slab": slab, "tabs": (lr, ls, dr, ds), "tab_ok": tab_ok,
-        "wl": wl, "window": window, "max_slots": max_slots,
+        "wl": wl, "window": window, "unroll": unroll,
+        "max_slots": max_slots,
         "lane_arr": lane_arr, "live": live, "b": b, "rtot": rtot,
     }
 
@@ -524,8 +547,8 @@ def run_pl(st, interpret: bool = False):
     lr, ls, dr, ds = st["tabs"]
     return _decode_pallas(
         st["sb2"], st["sc2"], st["slab"], lr, ls, dr, ds,
-        wl=st["wl"], window=st["window"], max_slots=st["max_slots"],
-        interpret=interpret)
+        wl=st["wl"], window=st["window"], unroll=st["unroll"],
+        max_slots=st["max_slots"], interpret=interpret)
 
 
 def finish_pl(st, slots, okm):
@@ -547,9 +570,10 @@ def finish_pl(st, slots, okm):
     return kinds, values, dists, okout
 
 
-def decode_symbols_pl(words, start_bits, stop_counts, row_members,
+def decode_symbols_pl(words, start_bits, stop_bits, row_members,
                       lit_lens, dist_lens, span_bits, max_real,
-                      window: int = 32, slot_slack: float = 1.3,
+                      window: int = 64, unroll: int = 8,
+                      slot_slack: float = 1.3,
                       interpret: bool = False):
     """Pallas-kernel drop-in for ops.inflate.decode_symbols.
 
@@ -560,8 +584,8 @@ def decode_symbols_pl(words, start_bits, stop_counts, row_members,
     lane decodes.  Returns (kinds int8[B, S], values, dists int32[B, S],
     ok bool[B]) with S = the kernel's slot count (NOP-slot padded).
     """
-    st = stage_pl(words, start_bits, stop_counts, row_members,
+    st = stage_pl(words, start_bits, stop_bits, row_members,
                   lit_lens, dist_lens, span_bits, max_real,
-                  window=window, slot_slack=slot_slack)
+                  window=window, unroll=unroll, slot_slack=slot_slack)
     slots, okm = run_pl(st, interpret=interpret)
     return finish_pl(st, slots, okm)

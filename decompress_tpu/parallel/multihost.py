@@ -92,12 +92,13 @@ def sharded_gzip_compress_multihost(
     lo, hi = _local_member_range(total)
     local = arr[lo * member_size : hi * member_size]
     if local.size:
-        local_arch, local_sizes, local_splits = sharded.sharded_gzip_compress(
+        (local_arch, local_sizes, local_splits,
+         local_ncmds) = sharded.sharded_gzip_compress(
             local, level, member_size=member_size, mesh=mesh,
             index=False, return_meta=True,
         )
     else:
-        local_arch, local_sizes, local_splits = b"", [], []
+        local_arch, local_sizes, local_splits, local_ncmds = b"", [], [], []
 
     # order-preserving process gather: fixed-width buffers keyed by
     # process index; sizes first, then padded payloads
@@ -117,21 +118,23 @@ def sharded_gzip_compress_multihost(
     # index the single-host path writes, so archive bytes are identical
     # for any host count (and parallel decode keeps working).
     per = -(-total // jax.process_count())
-    width = 1 + 3 * (sharded.N_SPLITS - 1)
+    width = 2 + 3 * (sharded.N_SPLITS - 1)
     meta = np.zeros((per, width), np.int64)
     for j, s in enumerate(local_sizes):
         meta[j, 0] = s
-        meta[j, 1:] = [v for tri in local_splits[j] for v in tri]
+        meta[j, 1] = local_ncmds[j]
+        meta[j, 2:] = [v for tri in local_splits[j] for v in tri]
     all_meta = multihost_utils.process_allgather(meta)  # [P, per, width]
-    sizes, split_rows = [], []
+    sizes, split_rows, ncmds = [], [], []
     for p in range(jax.process_count()):
         plo = min(p * per, total)
         phi = min(plo + per, total)
         for j in range(phi - plo):
             sizes.append(int(all_meta[p, j, 0]))
-            row = all_meta[p, j, 1:].reshape(-1, 3)
+            ncmds.append(int(all_meta[p, j, 1]))
+            row = all_meta[p, j, 2:].reshape(-1, 3)
             split_rows.append([tuple(int(v) for v in t) for t in row])
-    xt = sharded._build_index(total, sizes, split_rows)
+    xt = sharded._build_index(total, sizes, split_rows, ncmds)
     if xt is not None:
         head0 = bytearray(archive[:10])
         head0[3] |= _FEXTRA

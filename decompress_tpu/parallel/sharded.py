@@ -191,11 +191,12 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
     parts: list = []
     crcs_all: list = []
     for (lo, hi, b, cdata, cnv, d_data, kinds, pk) in packed_iter:
-        (words, totals), (sp_bits, sp_cmds, sp_outs) = pk
+        (words, totals), (sp_bits, sp_cmds, sp_outs, sp_n) = pk
         totals = np.asarray(totals)[:b]
         sp_bits = np.asarray(sp_bits)[:b]
         sp_cmds = np.asarray(sp_cmds)[:b]
         sp_outs = np.asarray(sp_outs)[:b]
+        sp_n = np.asarray(sp_n)[:b]
         used = [int(totals[i]) for i in range(b) if kinds[i] != "stored"]
         cap = (max(used) + 31) // 32 + 1 if used else 0
         words = np.asarray(words[:b, :cap]) if cap else np.zeros((b, 0), np.uint32)
@@ -223,12 +224,40 @@ def _compress_members(arr, level, member_size, mesh, final_flags=None,
                     (int(sp_bits[i, j]), int(sp_cmds[i, j]), int(sp_outs[i, j]))
                     for j in range(N_SPLITS - 1)
                 ]
-                parts.append(("packed", packed, int(totals[i]), splits))
+                parts.append(("packed", packed, int(totals[i]), splits,
+                              int(sp_n[i])))
     return parts, n_valid, (np.array(crcs_all) if want_crc else None)
 
 
 INDEX_ID = b"TZ"  # gzip FEXTRA subfield carrying member byte sizes
 SPLIT_ID = b"TS"  # FEXTRA subfield: per-member symbol-stream split points
+TBITS_ID = b"TB"  # compact bit-stride splits: u8 deltas off j*SPLIT_BITS
+
+
+def _encode_tb(split_rows: list, ncmds: list, stride: int) -> bytes | None:
+    """Compact TB payload, or None when any split point doesn't fit the
+    delta encoding (e.g. command-stride archives)."""
+    out = [int(stride).to_bytes(4, "little")]
+    for row, total in zip(split_rows, ncmds):
+        valid = [t for t in row if t[0] > 0]
+        deltas = []
+        maxc = 0
+        prev_ci = 0
+        for j, (bo, ci, _oo) in enumerate(valid, start=1):
+            d = j * stride - bo
+            if not 0 <= d <= 255:
+                return None
+            deltas.append(d)
+            maxc = max(maxc, ci - prev_ci)
+            prev_ci = ci
+        if valid and total:
+            maxc = max(maxc, int(total) - prev_ci)
+        elif not valid:
+            maxc = min(int(total), 65535) if total else 0
+        out.append(len(deltas).to_bytes(2, "little")
+                   + min(maxc, 65535).to_bytes(2, "little")
+                   + bytes(deltas))
+    return b"".join(out)
 # Chunk rows per member for the chunk-parallel decoder.  The decode
 # kernel is gather-throughput-bound and needs >= ~1024 lanes to
 # amortize the fixed per-gather-op cost (measured ~1.8 us/op below
@@ -280,7 +309,7 @@ def sharded_gzip_compress(
     arr = de._np_u8(data)
     if arr.size == 0:
         empty = gz.compress(b"", level)
-        return (empty, [len(empty)], [[(0, 0, 0)] * (N_SPLITS - 1)]) \
+        return (empty, [len(empty)], [[(0, 0, 0)] * (N_SPLITS - 1)], [0]) \
             if return_meta else empty
     parts, n_valid, crcs = _compress_members(arr, level, member_size, mesh,
                                              shared_tree=shared_tree)
@@ -302,7 +331,8 @@ def sharded_gzip_compress(
         part[3] if part[0] == "packed" else [(0, 0, 0)] * (N_SPLITS - 1)
         for part in parts
     ]
-    xt = _build_index(m, sizes, split_rows) if index else None
+    ncmds = [part[4] if part[0] == "packed" else 0 for part in parts]
+    xt = _build_index(m, sizes, split_rows, ncmds) if index else None
     if xt is not None:
         head0 = bytearray(head)
         head0[3] |= gz._FEXTRA
@@ -317,11 +347,12 @@ def sharded_gzip_compress(
         out.append(int(int(n_valid[i]) & 0xFFFFFFFF).to_bytes(4, "little"))
     archive = b"".join(out)
     if return_meta:
-        return archive, sizes, split_rows
+        return archive, sizes, split_rows, ncmds
     return archive
 
 
-def _build_index(m: int, sizes: list, split_rows: list) -> bytes | None:
+def _build_index(m: int, sizes: list, split_rows: list,
+                 ncmds: list | None = None) -> bytes | None:
     """FEXTRA bytes (XLEN + subfields) for the member index, or None.
 
     ``sizes`` are per-member byte sizes *excluding* the index field
@@ -330,16 +361,33 @@ def _build_index(m: int, sizes: list, split_rows: list) -> bytes | None:
     triples per member (all-zero for stored members).  Shared by the
     single-host and multi-host assembly paths so the archive bytes are
     identical for any host count.
+
+    When the archive was written with bit-stride splits (SPLIT_BITS)
+    and ``ncmds`` (total commands per member) is available, the splits
+    are encoded as the compact TB subfield: u32 stride + per member
+    (u16 count, u16 max row commands, count x u8 deltas) — 3-4 bytes
+    per split point less ~9, since the command index and output offset
+    are derivable (bit-based stopping + device prefix sums).  A 128 KiB
+    member costs ~50 B instead of ~530 B, so dense split points no
+    longer dent the compression ratio or the 64 KiB FEXTRA budget.
     """
-    # sizes subfield + split subfield must fit one FEXTRA (<= 65535)
-    split_len = 1 + sum(
-        1 + 12 * sum(1 for t in row if t[0] > 0) for row in split_rows)
-    use_splits = 4 + (4 + 4 * m) + (4 + split_len) <= 65535
     if m > (65531 - 8) // 4:
         return None
+    tb = None
+    if SPLIT_BITS > 0 and ncmds is not None:
+        tb = _encode_tb(split_rows, ncmds, SPLIT_BITS)
     xdata_len = 4 + 4 * m
     extra_len = 2 + 4 + xdata_len
     sfield = b""
+    if tb is not None and 4 + xdata_len + 4 + len(tb) <= 65535:
+        sfield = TBITS_ID + len(tb).to_bytes(2, "little") + tb
+        extra_len += len(sfield)
+        use_splits = False
+    else:
+        # legacy 12-byte triples, one global subfield
+        split_len = 1 + sum(
+            1 + 12 * sum(1 for t in row if t[0] > 0) for row in split_rows)
+        use_splits = 4 + (4 + 4 * m) + (4 + split_len) <= 65535
     if use_splits:
         # count-prefixed VALID triples per member (bit offset 0 =
         # unused slot): members record ~ncmds/SPLIT_STRIDE triples, so
@@ -368,9 +416,9 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
     path when the index is absent or a member isn't device-decodable."""
     buf = de._np_u8(archive)
     try:
-        sizes, splits = _read_index_ex(buf)
+        sizes, splits, tb = _read_index_ex(buf)
     except (gz.MalformedError, ValueError):
-        sizes, splits = None, None
+        sizes, splits, tb = None, None, None
     if sizes is None:
         return gz.decompress(buf)
     from ..ops import inflate as inflate_ops
@@ -414,15 +462,18 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
         splits is not None
         and len(splits) == len(metas)
     )
+    bit_mode = bool(use_splits and tb is not None)
     if use_splits:
         for i in huff:
             tri = [t for t in splits[i] if t[0] > 0]
             (_, _, _, start), _, _, isize = metas[i]
             prev_bit, prev_cmd = start, 0
             for (bo, ci, oo) in tri:
-                if bo <= prev_bit or ci <= prev_cmd or oo > isize:
+                if bo <= prev_bit or (not bit_mode and
+                                      (ci <= prev_cmd or oo > isize)):
                     use_splits = False  # corrupt index: serial fallback
                 prev_bit, prev_cmd = bo, ci
+    bit_mode = bit_mode and use_splits
 
     if huff:
         m = len(huff)
@@ -436,14 +487,18 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
         # points (== the stride for command-stride archives; the max
         # row density for bit-stride ones)
         stride_cap = 0
-        if use_splits:
+        if bit_mode:
+            stride_cap = max((tb["max_cmds"][i] for i in huff), default=0)
+        elif use_splits:
             for i in huff:
                 tri = [t for t in splits[i] if t[0] > 0]
                 prev = 0
                 for t in tri:
                     stride_cap = max(stride_cap, t[1] - prev)
                     prev = t[1]
-        # rows: (member idx, start bit, stop count; 0 = decode to EOB)
+        # rows: (member idx, start bit, stop) — stop is a COMMAND
+        # count for legacy TS archives and the next row's START BIT for
+        # compact TB archives (0 = decode to end-of-block either way)
         rows: list = []
         row_caps: list = []
         for i in huff:
@@ -457,8 +512,9 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             outb = [0] + [t[2] for t in tri]
             for j in range(len(bits)):
                 if j + 1 < len(bits):
-                    stop = cmdb[j + 1] - cmdb[j]
-                    cap = stop
+                    stop = bits[j + 1] if bit_mode else cmdb[j + 1] - cmdb[j]
+                    cap = (tb["max_cmds"][i] or stride_cap or isize + 2) \
+                        if bit_mode else stop
                 else:
                     stop = 0
                     cap = isize - outb[-1] + 2  # cmds <= out bytes + EOB
@@ -497,7 +553,7 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             lit_lens[midx[i]] = ll_
             dist_lens[midx[i]] = dl_
         start_bits = np.zeros(b_pad, np.int32)
-        stop_counts = np.zeros(b_pad, np.int32)
+        stop_counts = np.zeros(b_pad, np.int32)  # TB mode: stop BITS
         row_members = np.full(b_pad, m, np.int32)  # default: sentinel
         first_row = {}
         for row, (i, bit, stop) in enumerate(rows):
@@ -505,18 +561,65 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             stop_counts[row] = stop
             row_members[row] = midx[i]
             first_row.setdefault(i, row)
-        with profiling.annotate("build_decode_tables"):
-            lit_tabs, dist_tabs = inflate_ops.build_fused_tables(
-                jnp.asarray(lit_lens), jnp.asarray(dist_lens))
-        with profiling.annotate("decode_symbols"):
-            kinds, values, dvals, ok = inflate_ops.decode_symbols(
-                jnp.asarray(mw), jnp.asarray(start_bits), lit_tabs,
-                dist_tabs, max_cmds=max_cmds,
-                stop_counts=jnp.asarray(stop_counts) if use_splits else None,
-                row_members=jnp.asarray(row_members),
-            )
-        if not bool(np.asarray(ok)[:nrows].all()):
-            return gz.decompress(buf)
+        # kernel choice: the Pallas in-kernel decoder (3-10x the XLA
+        # lockstep kernel, PERF.md round 4) handles bit-stopped rows;
+        # auto-selected on TPU backends, forceable via env
+        import os as _os
+
+        ksel = _os.environ.get("DECOMPRESS_TPU_INFLATE_KERNEL", "auto")
+        use_pl = False
+        if bit_mode and ksel != "xla":
+            if ksel in ("pl", "pl-interpret"):
+                use_pl = True
+            else:
+                import jax as _jax
+
+                use_pl = _jax.default_backend() in ("tpu", "axon")
+        if use_pl:
+            from ..ops import inflate_pl
+
+            spans = np.zeros(nrows, np.int64)
+            stop_bits_rows = np.zeros(nrows, np.int64)
+            for row, (i, bit, stop) in enumerate(rows):
+                stop_bits_rows[row] = stop
+                spans[row] = (stop if stop > 0
+                              else metas[i][1].size * 8) - bit
+            with profiling.annotate("decode_symbols_pl"):
+                kinds, values, dvals, okp = inflate_pl.decode_symbols_pl(
+                    mw, start_bits[:nrows], stop_bits_rows,
+                    row_members[:nrows], lit_lens, dist_lens, spans,
+                    max_real=stride_cap + 4,
+                    interpret=(ksel == "pl-interpret"))
+            if not bool(okp.all()):
+                return gz.decompress(buf)
+            kinds = jnp.asarray(kinds)
+            values = jnp.asarray(values)
+            dvals = jnp.asarray(dvals)
+            stop_bits_slots = stop_bits_rows
+        else:
+            with profiling.annotate("build_decode_tables"):
+                lit_tabs, dist_tabs = inflate_ops.build_fused_tables(
+                    jnp.asarray(lit_lens), jnp.asarray(dist_lens))
+            with profiling.annotate("decode_symbols"):
+                kinds, values, dvals, ok = inflate_ops.decode_symbols(
+                    jnp.asarray(mw), jnp.asarray(start_bits), lit_tabs,
+                    dist_tabs, max_cmds=max_cmds,
+                    stop_counts=(jnp.asarray(stop_counts)
+                                 if use_splits and not bit_mode else None),
+                    stop_bits=(jnp.asarray(stop_counts)
+                               if bit_mode else None),
+                    row_members=jnp.asarray(row_members),
+                )
+            if not bool(np.asarray(ok)[:nrows].all()):
+                return gz.decompress(buf)
+            stop_bits_slots = stop_counts
+
+        def _slot_spans(kk):
+            if bit_mode:
+                return inflate_ops.slot_counts_bits(
+                    kk, jnp.asarray(stop_bits_slots[:kk.shape[0]]))
+            return inflate_ops.slot_counts(
+                kk, jnp.asarray(stop_counts[:kk.shape[0]]))
 
         if use_native:
             # ragged-compact the command stream on device, expand on host
@@ -528,8 +631,7 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
             # per-row SLOT spans (NOP slots included — the C++ expander
             # skips kind-3 words), not command counts
-            ncmds = np.asarray(
-                inflate_ops.slot_counts(kinds, jnp.asarray(stop_counts)))
+            ncmds = np.asarray(_slot_spans(kinds))
             total = int(ncmds.sum())
             out_size = _ceil_pow2_int(max(total, 1))
             flat = np.asarray(
@@ -563,8 +665,7 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
             # the payload never has to leave the chip
             if use_splits:
                 packed = (kinds.astype(jnp.int32) << 26) | (dvals << 10) | values
-                ncmds = np.asarray(
-                    inflate_ops.slot_counts(kinds, jnp.asarray(stop_counts)))
+                ncmds = np.asarray(_slot_spans(kinds))
                 total = int(ncmds.sum())
                 flat = inflate_ops.compact_commands(
                     packed, jnp.asarray(ncmds), _ceil_pow2_int(max(total, 1)))
@@ -635,34 +736,61 @@ def huffman_invalid() -> int:
 
 def _read_index(buf: np.ndarray) -> list[int] | None:
     """Member sizes from the first member's FEXTRA index, or None."""
-    sizes, _ = _read_index_ex(buf)
+    sizes, _, _ = _read_index_ex(buf)
     return sizes
 
 
 def _read_index_ex(buf: np.ndarray):
-    """(member sizes, per-member split triples) from the FEXTRA index.
+    """(member sizes, per-member split triples, tb meta) from the
+    FEXTRA index.
 
-    Splits (SPLIT_ID subfield) are (bit_off, cmd_idx, out_off) triples
-    per interior chunk boundary; None when the archive has no index /
-    no split subfield.
+    Legacy splits (SPLIT_ID subfield) are (bit_off, cmd_idx, out_off)
+    triples per interior chunk boundary.  Compact bit-stride splits
+    (TBITS_ID) are returned as synthesized (bit_off, 0, 0) triples plus
+    ``tb = {"bits": stride, "max_cmds": [per member]}`` — their rows
+    stop by BIT position, not command count.  (None, None, None)-ish
+    when the archive has no index / no split subfield.
     """
     if buf.size < 12 or buf[0] != 0x1F or buf[1] != 0x8B:
         raise gz.MalformedError("invalid header")
     if not (int(buf[3]) & gz._FEXTRA):
-        return None, None
+        return None, None, None
     xlen = int.from_bytes(buf[10:12].tobytes(), "little")
     field = buf[12 : 12 + xlen].tobytes()
     i = 0
     sizes = None
     splits = None
+    tb = None
     while i + 4 <= len(field):
         sid = field[i : i + 2]
         ln = int.from_bytes(field[i + 2 : i + 4], "little")
         data = field[i + 4 : i + 4 + ln]
-        if sid == INDEX_ID:
+        if sid == TBITS_ID and len(data) >= 4:
+            stride = int.from_bytes(data[:4], "little")
+            rows_out = []
+            maxes = []
+            j = 4
+            bad = stride <= 0
+            while not bad and j + 4 <= len(data):
+                cnt = int.from_bytes(data[j : j + 2], "little")
+                maxc = int.from_bytes(data[j + 2 : j + 4], "little")
+                j += 4
+                if j + cnt > len(data):
+                    bad = True
+                    break
+                rows_out.append([
+                    ((k + 1) * stride - data[j + k], 0, 0)
+                    for k in range(cnt)
+                ])
+                maxes.append(maxc)
+                j += cnt
+            if not bad and rows_out:
+                splits = rows_out
+                tb = {"bits": stride, "max_cmds": maxes}
+        elif sid == INDEX_ID:
             m = int.from_bytes(data[:4], "little")
             if len(data) != 4 + 4 * m:
-                return None, None
+                return None, None, None
             sizes = [
                 int.from_bytes(data[4 + 4 * k : 8 + 4 * k], "little")
                 for k in range(m)
@@ -690,7 +818,7 @@ def _read_index_ex(buf: np.ndarray):
             if not bad and rows_out:
                 splits = rows_out
         i += 4 + ln
-    return sizes, splits
+    return sizes, splits, tb
 
 
 def sharded_zlib_compress(

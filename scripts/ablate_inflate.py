@@ -26,7 +26,12 @@ from decompress_tpu.parallel.sharded import _ceil_pow2_int
 
 
 def stage(buf: np.ndarray):
-    sizes, splits = sharded._read_index_ex(buf)
+    """Decode-input staging.  Returns (mw, lit_lens, dist_lens,
+    start_bits, stops, row_members, max_cmds, nrows, tb): for legacy TS
+    archives `stops` are per-row COMMAND counts (0 = to EOB); for
+    compact TB archives (tb is not None) they are the next row's START
+    BIT (bit-stop mode, 0 = to EOB)."""
+    sizes, splits, tb = sharded._read_index_ex(buf)
     members = []
     off = 0
     for s in sizes:
@@ -44,7 +49,9 @@ def stage(buf: np.ndarray):
     out_len = _ceil_pow2_int(max(metas[i][2] for i in huff))
     wmax = _ceil_pow2_int(max(metas[i][1].size for i in huff) // 4 + 4)
     stride_cap = 0
-    if splits:
+    if tb is not None:
+        stride_cap = max((tb["max_cmds"][i] for i in huff), default=0)
+    elif splits:
         for i in huff:
             tri = [t for t in splits[i] if t[0] > 0]
             prev = 0
@@ -60,8 +67,10 @@ def stage(buf: np.ndarray):
         outb = [0] + [t[2] for t in tri]
         for j in range(len(bits)):
             if j + 1 < len(bits):
-                stop = cmdb[j + 1] - cmdb[j]
-                cap = stop
+                stop = bits[j + 1] if tb is not None \
+                    else cmdb[j + 1] - cmdb[j]
+                cap = (tb["max_cmds"][i] or stride_cap or isize + 2) \
+                    if tb is not None else stop
             else:
                 stop = 0
                 cap = isize - outb[-1] + 2
@@ -91,7 +100,7 @@ def stage(buf: np.ndarray):
         stop_counts[row] = stop
         row_members[row] = midx[i]
     return (mw, lit_lens, dist_lens, start_bits, stop_counts, row_members,
-            max_cmds, nrows)
+            max_cmds, nrows, tb)
 
 
 def main():
@@ -107,7 +116,7 @@ def main():
     print(f"compress: {time.time()-t0:.1f}s, {len(arch)} bytes", file=sys.stderr)
 
     buf = np.frombuffer(arch, np.uint8)
-    (mw, ll, dl, sb, sc, rm, max_cmds, nrows) = stage(buf)
+    (mw, ll, dl, sb, sc, rm, max_cmds, nrows, tb) = stage(buf)
     print(f"rows={nrows} max_cmds={max_cmds} members={mw.shape[0]-1} "
           f"wmax={mw.shape[1]}", file=sys.stderr)
 

@@ -60,7 +60,7 @@ def spans_for(buf, mw, sb, rm, nrows):
     from decompress_tpu.ops import inflate as iops
     from decompress_tpu.parallel import sharded
 
-    sizes, _ = sharded._read_index_ex(buf)
+    sizes, _, _ = sharded._read_index_ex(buf)
     body_bits = {}
     off = 0
     hidx = 0
@@ -105,20 +105,26 @@ def main() -> None:
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     buf = de._np_u8(arch)
-    mw, ll, dl, sb, sc, rm, max_cmds, nrows = stage(buf)
+    mw, ll, dl, sb, sc, rm, max_cmds, nrows, tb = stage(buf)
     spans = spans_for(buf, mw, sb, rm, nrows)
     out_bytes = args.mb << 20
     print(f"rows={nrows} members={mw.shape[0]-1} wmax={mw.shape[1]} "
           f"max_cmds={max_cmds}", file=sys.stderr)
 
-    stride_cap = int(max(
-        (sc[r] for r in range(nrows) if sc[r] > 0), default=max_cmds))
+    if tb is not None:
+        stride_cap = int(max(tb["max_cmds"]))
+        stop_bits = sc[:nrows].astype(np.int64)  # already stop BITS
+    else:
+        stride_cap = int(max(
+            (sc[r] for r in range(nrows) if sc[r] > 0), default=max_cmds))
+        stop_bits = np.where(sc[:nrows] > 0,
+                             sb[:nrows].astype(np.int64) + spans[:nrows], 0)
     max_real = stride_cap + 4
 
     # ---- Pallas kernel --------------------------------------------------
     t0 = time.time()
     kinds_p, values_p, dists_p, ok_p = ipl.decode_symbols_pl(
-        mw, sb[:nrows], sc[:nrows], rm[:nrows], ll, dl, spans[:nrows],
+        mw, sb[:nrows], stop_bits, rm[:nrows], ll, dl, spans[:nrows],
         max_real=max_real, window=args.window, interpret=args.interpret)
     print(f"pl cold end-to-end: {time.time()-t0:.2f}s ok={ok_p.all()}",
           file=sys.stderr)
@@ -128,7 +134,7 @@ def main() -> None:
 
     # kernel-resident timing: staged device arrays, fetch only ok
     t0 = time.time()
-    st = ipl.stage_pl(mw, sb[:nrows], sc[:nrows], rm[:nrows], ll, dl,
+    st = ipl.stage_pl(mw, sb[:nrows], stop_bits, rm[:nrows], ll, dl,
                       spans[:nrows], max_real=max_real, window=args.window)
     int(np.asarray(st["slab"]).flat[0])  # force staging
     print(f"stage (tables+slab, cold): {time.time()-t0:.2f}s  "
@@ -136,7 +142,7 @@ def main() -> None:
           file=sys.stderr)
     for it in range(2):
         t0 = time.time()
-        st = ipl.stage_pl(mw, sb[:nrows], sc[:nrows], rm[:nrows], ll, dl,
+        st = ipl.stage_pl(mw, sb[:nrows], stop_bits, rm[:nrows], ll, dl,
                           spans[:nrows], max_real=max_real,
                           window=args.window)
         import jax.numpy as _j
@@ -171,7 +177,9 @@ def main() -> None:
             t0 = time.time()
             kinds_x, values_x, dists_x, ok_x = iops.decode_symbols(
                 d_mw, d_sb, lt, dt_, max_cmds=max_cmds,
-                stop_counts=d_sc, row_members=d_rm)
+                stop_counts=d_sc if tb is None else None,
+                stop_bits=d_sc if tb is not None else None,
+                row_members=d_rm)
             n = int(jnp.sum(ok_x[:nrows]))
             dtm = time.time() - t0
             print(f"xla decode[{it}]: {dtm*1e3:7.1f} ms  "
@@ -190,7 +198,7 @@ def main() -> None:
                         outc.append((2, 0, 0))
                     break
                 outc.append((int(kk), int(vv), int(dd)))
-                if sc[r] > 0 and len(outc) >= sc[r]:
+                if tb is None and sc[r] > 0 and len(outc) >= sc[r]:
                     break
             return outc
 

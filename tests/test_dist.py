@@ -105,10 +105,10 @@ def test_multihost_index_assembly_matches_single_host():
 
     data = (b"multihost index determinism " * 3000)[:60000]
     indexed = sharded.sharded_gzip_compress(data, 6, member_size=16384)
-    plain, sizes, split_rows = sharded.sharded_gzip_compress(
+    plain, sizes, split_rows, ncmds = sharded.sharded_gzip_compress(
         data, 6, member_size=16384, index=False, return_meta=True)
     m = len(sizes)
-    xt = sharded._build_index(m, sizes, split_rows)
+    xt = sharded._build_index(m, sizes, split_rows, ncmds)
     assert xt is not None
     head0 = bytearray(plain[:10])
     head0[3] |= gz._FEXTRA

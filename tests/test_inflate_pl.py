@@ -112,10 +112,10 @@ def _staged_archive(payload, member_size=8192, level=6):
 
     arch = sharded_gzip_compress(payload, level, member_size=member_size)
     buf = de._np_u8(arch)
-    staged = stage(buf)
+    staged = stage(buf)[:8]
     # per-lane span bits (next split start - this start, or member end)
     mw, ll, dl, sb, sc, rm, max_cmds, nrows = staged
-    sizes, splits = sharded._read_index_ex(buf)
+    sizes, splits, _tb = sharded._read_index_ex(buf)
     spans = np.zeros(sb.shape[0], np.int64)
     body_bits = {}
     off = 0
@@ -182,10 +182,52 @@ def test_pl_kernel_matches_xla_interpret(level):
 
     max_real = int(max(
         sc[r] if sc[r] > 0 else max_cmds for r in range(nrows)))
+    # bit-based stops: interior rows stop at the next split's start bit
+    stop_bits = np.where(sc[:nrows] > 0,
+                         sb[:nrows].astype(np.int64) + spans[:nrows], 0)
     kinds_p, values_p, dists_p, ok_p = inflate_pl.decode_symbols_pl(
-        mw, sb[:nrows], sc[:nrows], rm[:nrows], ll, dl, spans[:nrows],
+        mw, sb[:nrows], stop_bits, rm[:nrows], ll, dl, spans[:nrows],
         max_real=max_real, interpret=True)
     assert ok_p[:nrows].all()
     a = _norm_rows(kinds_x, values_x, dists_x, sc, nrows)
     b = _norm_rows(kinds_p, values_p, dists_p, sc, nrows)
     assert a == b
+
+
+def test_tb_index_end_to_end(monkeypatch):
+    """Bit-stride archives write the compact TB subfield (u8 deltas;
+    ~50 B per member instead of ~530 B) and decode byte-exact through
+    BOTH kernels: the XLA lockstep kernel with bit-based stops and the
+    Pallas kernel (interpret mode here)."""
+    import gzip
+    import os
+
+    from decompress_tpu import de
+    from decompress_tpu.parallel import sharded
+
+    rng = np.random.default_rng(17)
+    payload = (b"compact TB index round trip " * 1200
+               + rng.integers(0, 256, 14000, np.uint8).tobytes()
+               + bytes(6000))
+    monkeypatch.setattr(sharded, "SPLIT_BITS", 4096)
+    monkeypatch.setattr(sharded, "N_SPLITS", 250)
+    arch = sharded.sharded_gzip_compress(payload, 6, member_size=16384)
+    assert gzip.decompress(arch) == payload  # still standard gzip
+
+    buf = de._np_u8(arch)
+    sizes, splits, tb = sharded._read_index_ex(buf)
+    assert tb is not None and tb["bits"] == 4096
+    assert splits is not None and any(len(r) for r in splits)
+    # compactness: every recorded split costs 1 byte + 4/member header
+    n_splits = sum(len(r) for r in splits)
+    assert n_splits >= 4
+
+    # serial-fallback poisoning: both kernel paths must succeed alone
+    monkeypatch.setattr(sharded.gz, "decompress",
+                        lambda _b: (_ for _ in ()).throw(
+                            AssertionError("serial fallback used")))
+    monkeypatch.setenv("DECOMPRESS_TPU_INFLATE_KERNEL", "xla")
+    assert sharded.sharded_gzip_decompress(buf) == payload
+    assert sharded.sharded_gzip_decompress(buf, expand="device") == payload
+    monkeypatch.setenv("DECOMPRESS_TPU_INFLATE_KERNEL", "pl-interpret")
+    assert sharded.sharded_gzip_decompress(buf) == payload

@@ -87,7 +87,7 @@ def test_split_index_present_and_used(payload, monkeypatch):
     from decompress_tpu.parallel import sharded as sh
 
     arch = sharded_gzip_compress(payload, 6, member_size=MEMBER)
-    sizes, splits = sh._read_index_ex(de._np_u8(arch))
+    sizes, splits, _tb = sh._read_index_ex(de._np_u8(arch))
     assert sizes is not None and splits is not None
     assert len(splits) == len(sizes)
     # big members should have fixed-stride splits recorded (a member
@@ -209,7 +209,7 @@ def test_nop_slots_emitted_and_skipped(payload):
     sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "scripts"))
     from ablate_inflate import stage
 
-    mw, ll, dl, sb, sc, rm, max_cmds, nrows = stage(de._np_u8(arch))
+    mw, ll, dl, sb, sc, rm, max_cmds, nrows, _tb = stage(de._np_u8(arch))
     lt, dt = iops.build_fused_tables(jnp.asarray(ll), jnp.asarray(dl))
     kinds, values, dists, ok = iops.decode_symbols(
         jnp.asarray(mw), jnp.asarray(sb), lt, dt, max_cmds=max_cmds,
