@@ -551,6 +551,31 @@ def run_pl(st, interpret: bool = False):
         max_slots=st["max_slots"], interpret=interpret)
 
 
+def packed_rows_device(st, slots):
+    """DEVICE-side result reshape: slots (S, Rtot, 128) -> packed
+    int32[b, S] in the caller's original lane order.  Keeps the bulky
+    command matrix on the chip (the sharded decode compacts it there
+    and fetches only the ragged stream) — `finish_pl` by contrast
+    round-trips everything through the host."""
+    bl = st["lane_arr"].size
+    cm = slots.transpose(1, 2, 0).reshape(bl, st["max_slots"])
+    perm = np.zeros(st["b"], np.int32)
+    pos = np.nonzero(st["live"])[0]
+    perm[st["lane_arr"][pos]] = pos
+    return cm[jnp.asarray(perm)]
+
+
+def ok_rows(st, okm):
+    """Per-original-lane ok flags (host, tiny fetch)."""
+    bl, rtot = st["lane_arr"].size, st["rtot"]
+    okf = (np.asarray(okm).reshape(bl) != 0) \
+        & np.asarray(st["tab_ok"])[np.arange(rtot).repeat(LANES)]
+    okout = np.zeros(st["b"], bool)
+    pos = np.nonzero(st["live"])[0]
+    okout[st["lane_arr"][pos]] = okf[pos]
+    return okout
+
+
 def finish_pl(st, slots, okm):
     """Fetch + unscatter kernel outputs back to the caller's lane
     order; returns (kinds int8[B,S], values, dists int32[B,S], ok[B])."""

@@ -265,9 +265,12 @@ def _encode_tb(split_rows: list, ncmds: list, stride: int) -> bytes | None:
 # Splits are at FIXED command strides: every row decodes at most
 # SPLIT_STRIDE commands, so lanes stay balanced across members of any
 # density and the decode kernel's max_cmds is a compile-time constant.
-# N_SPLITS bounds the recorded triples (a 130560-byte member is at
-# most 130561 commands < 64 * 2048).
-N_SPLITS = 64
+# N_SPLITS bounds the recorded triples.  TB-encoded splits cost one
+# byte each, so the cap is generous: 250 * SPLIT_BITS covers even a
+# ratio~1 dynamic-huffman member of SEGMENT_SIZE (2 Mbit), keeping
+# every row's span — and with it the Pallas kernel's slab width —
+# bounded by SPLIT_BITS + 48 bits.
+N_SPLITS = 250
 SPLIT_STRIDE = 2048
 # Bit-stride alternative (SPLIT_BITS > 0 overrides the command
 # stride): split points go to the command containing each multiple of
@@ -275,8 +278,11 @@ SPLIT_STRIDE = 2048
 # stream bits.  This is the geometry the Pallas decode kernel wants —
 # it bounds both the per-lane word slab and the within-row lane drift
 # (ops/inflate_pl.py).  The triple FORMAT is unchanged; either reader
-# decodes either geometry.
-SPLIT_BITS = 0
+# decodes either geometry.  The bit stride is the PRODUCTION default
+# (TB index, ~0.05% size overhead): it bounds the Pallas kernel's
+# per-lane slabs/drift and its splits cost 1 byte each; set to 0 for
+# legacy command-stride (TS) archives.
+SPLIT_BITS = 8192
 
 
 def sharded_gzip_compress(
@@ -585,16 +591,20 @@ def sharded_gzip_decompress(archive, *, expand: str = "auto") -> bytes:
                 spans[row] = (stop if stop > 0
                               else metas[i][1].size * 8) - bit
             with profiling.annotate("decode_symbols_pl"):
-                kinds, values, dvals, okp = inflate_pl.decode_symbols_pl(
+                pst = inflate_pl.stage_pl(
                     mw, start_bits[:nrows], stop_bits_rows,
                     row_members[:nrows], lit_lens, dist_lens, spans,
-                    max_real=stride_cap + 4,
-                    interpret=(ksel == "pl-interpret"))
-            if not bool(okp.all()):
-                return gz.decompress(buf)
-            kinds = jnp.asarray(kinds)
-            values = jnp.asarray(values)
-            dvals = jnp.asarray(dvals)
+                    max_real=stride_cap + 4)
+                slots, okm = inflate_pl.run_pl(
+                    pst, interpret=(ksel == "pl-interpret"))
+                if not bool(inflate_pl.ok_rows(pst, okm).all()):
+                    return gz.decompress(buf)
+                # commands stay ON DEVICE: reorder rows there, then the
+                # compaction below fetches only the ragged stream
+                pr = inflate_pl.packed_rows_device(pst, slots)
+            kinds = (pr >> 26).astype(jnp.int8)
+            values = pr & 0x3FF
+            dvals = (pr >> 10) & 0xFFFF
             stop_bits_slots = stop_bits_rows
         else:
             with profiling.annotate("build_decode_tables"):

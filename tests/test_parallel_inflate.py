@@ -108,12 +108,12 @@ def test_split_index_present_and_used(payload, monkeypatch):
 
 def test_split_index_corrupt_falls_back(payload):
     """A corrupted split subfield must not break decoding: the decoder
-    detects non-increasing offsets and uses whole-member rows (and the
-    stream still decodes byte-exactly)."""
+    detects the bad index and uses whole-member rows (and the stream
+    still decodes byte-exactly).  Covers both geometries: the TS
+    triples get non-increasing offsets, the TB field a zeroed stride."""
     from decompress_tpu.parallel import sharded as sh
 
     arch = bytearray(sharded_gzip_compress(payload, 6, member_size=MEMBER))
-    # find the TS subfield in the first member's FEXTRA and scramble it
     xlen = int.from_bytes(arch[10:12], "little")
     field = arch[12 : 12 + xlen]
     i = 0
@@ -127,9 +127,40 @@ def test_split_index_corrupt_falls_back(payload):
             arch[base + 12 : base + 24] = arch[base : base + 12]
             found = True
             break
+        if sid == sh.TBITS_ID:
+            # zero the stride: every synthesized offset collapses
+            base = 12 + i + 4
+            arch[base : base + 4] = b"\x00\x00\x00\x00"
+            found = True
+            break
         i += 4 + ln
     assert found
     assert sharded_gzip_decompress(bytes(arch)) == payload
+    # legacy TS geometry exercised explicitly
+    import pytest as _pytest
+
+    mp = _pytest.MonkeyPatch()
+    try:
+        mp.setattr(sh, "SPLIT_BITS", 0)
+        arch2 = bytearray(sharded_gzip_compress(payload, 6,
+                                                member_size=MEMBER))
+    finally:
+        mp.undo()
+    xlen = int.from_bytes(arch2[10:12], "little")
+    field = arch2[12 : 12 + xlen]
+    i = 0
+    found = False
+    while i + 4 <= len(field):
+        sid = bytes(field[i : i + 2])
+        ln = int.from_bytes(field[i + 2 : i + 4], "little")
+        if sid == sh.SPLIT_ID:
+            base = 12 + i + 4 + 1
+            arch2[base + 12 : base + 24] = arch2[base : base + 12]
+            found = True
+            break
+        i += 4 + ln
+    assert found
+    assert sharded_gzip_decompress(bytes(arch2)) == payload
 
 
 def test_archives_identical_across_meshes_with_splits(payload):
@@ -211,9 +242,12 @@ def test_nop_slots_emitted_and_skipped(payload):
 
     mw, ll, dl, sb, sc, rm, max_cmds, nrows, _tb = stage(de._np_u8(arch))
     lt, dt = iops.build_fused_tables(jnp.asarray(ll), jnp.asarray(dl))
+    # TB archives (the default) stop rows by BIT position
     kinds, values, dists, ok = iops.decode_symbols(
         jnp.asarray(mw), jnp.asarray(sb), lt, dt, max_cmds=max_cmds,
-        stop_counts=jnp.asarray(sc), row_members=jnp.asarray(rm), nw=4)
+        stop_counts=None if _tb else jnp.asarray(sc),
+        stop_bits=jnp.asarray(sc) if _tb else None,
+        row_members=jnp.asarray(rm), nw=4)
     kk = np.asarray(kinds)[:nrows]
     assert bool(np.asarray(ok)[:nrows].all())
     assert (kk == 3).sum() > 0, "expected NOP slots with a 75-bit budget"
@@ -223,7 +257,8 @@ def test_nop_slots_emitted_and_skipped(payload):
     # expand the first member's row span (NOPs inline) through the C++
     # expander and compare bytes against the serial oracle
     packed = (kinds.astype(jnp.int32) << 26) | (dists << 10) | values
-    ncmds = np.asarray(iops.slot_counts(kinds, jnp.asarray(sc)))
+    ncmds = np.asarray(iops.slot_counts_bits(kinds, jnp.asarray(sc)) if _tb
+                       else iops.slot_counts(kinds, jnp.asarray(sc)))
     row_starts = np.concatenate([[0], np.cumsum(ncmds)])
     flat = np.asarray(iops.compact_commands(
         packed, jnp.asarray(ncmds), int(row_starts[-1]) + 1)).astype(np.uint32)
