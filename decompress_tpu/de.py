@@ -452,13 +452,15 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
             lit_cost, dist_cost = lz77_ops._cost_tables_host(
                 np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
             )
-            hot = lz77_ops._hot_dists_host(np.asarray(res["dist_counts"]))
+            hot = (jnp.asarray(lz77_ops._hot_dists_host(
+                np.asarray(res["dist_counts"])))
+                if lz77_ops.LEVELS[level].mine else None)
             res2 = lz77_ops.lz77_parse_cost(
                 d_data, res["cand_length"], res["cand_dist"],
                 jnp.asarray(n_valid), jnp.asarray(lit_cost),
                 jnp.asarray(dist_cost), jnp.asarray(hist_len),
-                jnp.asarray(hot), seg_len=seg,
-                lazy=lz77_ops.LEVELS[level].lazy,
+                hot, seg_len=seg,
+                lazy=lz77_ops.LEVELS[level].lazy, window_bits=window_bits,
             )
             if not bool(np.asarray(res2["exact"])[:b].all()):
                 resx = lz77_ops.lz77_analyze(
@@ -470,8 +472,9 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
                     d_data, resx["cand_length"], resx["cand_dist"],
                     jnp.asarray(n_valid), jnp.asarray(lit_cost),
                     jnp.asarray(dist_cost), jnp.asarray(hist_len),
-                    jnp.asarray(hot), seg_len=seg,
+                    hot, seg_len=seg,
                     lazy=lz77_ops.LEVELS[level].lazy,
+                    window_bits=window_bits,
                 )
             res = res2
         _finish_batch(w, arr, lo, hi, nseg, level, seg, lz77_ops,

@@ -65,6 +65,7 @@ class LevelConfig:
     full_ladder: bool = True  # 13-probe length-floor grading (speed knob)
     runs: bool = True    # exact small-distance (RLE) candidates
     top2: bool = False   # descend the two best candidates, pick by length
+    mine: bool = True    # round-B hot-stride mining (two_round only)
     hash3: bool = False  # 3-byte-hash pass for pure len-3 matches
     # (only worth it with the two-round exact-cost parse: the greedy
     # parse overpays for len-3 matches on text)
@@ -79,8 +80,14 @@ LEVELS: dict[int, LevelConfig] = {
     2: LevelConfig(6, False, full_ladder=False),
     3: LevelConfig(8, False, full_ladder=False),
     4: LevelConfig(8, True, full_ladder=False),
-    5: LevelConfig(12, True),
-    6: LevelConfig(16, True),
+    # round 4: the parse-domain halving made the two-round exact-cost
+    # re-parse nearly free on chip (level 6: 278.8 -> 279.9 ms/MB), so
+    # the DEFAULT level gets it — and with exact costs the hash3 len-3
+    # pass pays at level 6 too (greedy overpaid for len-3 on text).
+    # Measured: level-6 aggregate 1.0062x -> 0.9995x zlib-6 (obj2
+    # 1.034 -> 1.005) at 289.5 ms/MB chip (scripts/level6_ratio.py).
+    5: LevelConfig(12, True, two_round=True),
+    6: LevelConfig(16, True, two_round=True, hash3=True),
     7: LevelConfig(24, True, two_round=True, top2=True, hash3=True),
     8: LevelConfig(32, True, two_round=True, top2=True, hash3=True),
     # level 9 relies on the same fingerprint descent (the verification
@@ -581,7 +588,7 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
             cand_w = _shift_prev(w3_s, k, jnp.uint32(0))
             ok3 = (
                 (cand_p >= 0) & (cand_h == sh3) & (cand_w == w3_s)
-                & (sp3 - cand_p <= TOO_FAR)
+                & (sp3 - cand_p <= min(TOO_FAR, max_dist))
                 & (cand_p >= valid_lo) & (cand_p < valid_hi) & sp3_ok
             )
             best3 = jnp.where(ok3 & (best3 < 0), cand_p, best3)
@@ -888,7 +895,8 @@ def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
 @functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy"))
 def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
                     hist_len=None, hot_dists=None,
-                    *, seg_len: int, hist: int = HIST, lazy: bool = True):
+                    *, seg_len: int, hist: int = HIST, lazy: bool = True,
+                    window_bits: int = 15):
     """Cost-aware re-parse (round B of the two-round analysis).
 
     Round A's greedy parse fixes a symbol distribution; its canonical
@@ -906,9 +914,16 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
     p = _ceil_pow2(seg_len)
     levels = p.bit_length() - 1
 
+    max_dist = 1 << window_bits
+
     def one(seg, length, dist, n, lcost, dcost, hl, hot):
         pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
         length = jnp.where(pay_idx < n, length, 0)
+        # restricted windows (window_bits < 15): defensively drop any
+        # candidate beyond the negotiated distance — and gate the
+        # hot-stride lane below the same way (its mined periods come
+        # from the raw histogram and can exceed the window)
+        length = jnp.where(dist <= max_dist, length, 0)
         lit = seg[hist:].astype(jnp.int32)
         litbits = lcost[lit]
         pref = jnp.concatenate(
@@ -950,7 +965,8 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
             g0 = match_gain(length, dist)
             for j in range(HOT_DISTS):
                 d_j = hot[j]
-                ok_j = (abs_idx - d_j >= hist - hl) & (pay_idx < n) & (d_j >= 1)
+                ok_j = (abs_idx - d_j >= hist - hl) & (pay_idx < n) \
+                    & (d_j >= 1) & (d_j <= max_dist)
                 len_j = jnp.where(ok_j, jnp.minimum(runs[j], MAX_MATCH), 0)
                 len_j = jnp.minimum(len_j, jnp.maximum(n - pay_idx, 0))
                 g_j = match_gain(len_j, jnp.full(seg_len, d_j))
@@ -1053,14 +1069,15 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
     lit_cost, dist_cost = _cost_tables_host(
         np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
     )
-    hot = _hot_dists_host(np.asarray(res["dist_counts"]))
     import jax.numpy as _jnp
 
+    hot = _jnp.asarray(_hot_dists_host(np.asarray(res["dist_counts"]))) \
+        if cfg.mine else None
     res2 = lz77_parse_cost(
         data, res["cand_length"], res["cand_dist"], n_valid,
         _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
-        hist_len, _jnp.asarray(hot),
-        seg_len=seg_len, hist=hist, lazy=cfg.lazy,
+        hist_len, hot,
+        seg_len=seg_len, hist=hist, lazy=cfg.lazy, window_bits=window_bits,
     )
     if not bool(np.asarray(res2["exact"]).all()):
         # a fingerprint overestimate among round-B's selections: redo
@@ -1071,7 +1088,8 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
         res2 = lz77_parse_cost(
             data, resx["cand_length"], resx["cand_dist"], n_valid,
             _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
-            hist_len, _jnp.asarray(hot),
+            hist_len, hot,
             seg_len=seg_len, hist=hist, lazy=cfg.lazy,
+            window_bits=window_bits,
         )
     return res2

@@ -256,10 +256,19 @@ def test_hot_stride_candidates():
     assert _zlib_raw_inflate(comp) == data
     z9 = len(zlib.compress(data, 9)) - 6
     assert len(comp) <= z9 * 1.05, (len(comp), z9)
-    # without the stride lane (single-round level 6) the same data is
-    # much worse: proves the mined candidates carry the gain
+    # ablation: the same config with mining disabled must never beat
+    # the mined one (since round 4, level 6's own two-round parse also
+    # mines, so the old "level 9 < level 6" separation is gone — the
+    # bucket search finds this stride too; the ablation pins the lane)
+    from decompress_tpu.ops import lz77 as lz77_ops
+
+    lz77_ops.LEVELS[80] = lz77_ops.LevelConfig(
+        64, True, two_round=True, top2=True, hash3=True, mine=False)
+    comp_nomine = de.deflate(data, 80)
+    assert _zlib_raw_inflate(comp_nomine) == data
+    assert len(comp) <= len(comp_nomine)
     comp6 = de.deflate(data, 6)
-    assert len(comp) < len(comp6), (len(comp), len(comp6))
+    assert len(comp6) <= z9 * 1.05
 
 
 def test_decode_window_restriction():
