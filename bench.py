@@ -45,12 +45,11 @@ def table_mode(levels=(6,), reps: int = 3) -> int:
     for p in sorted(corpus_dir.iterdir()):
         data = p.read_bytes()
         for level in levels:
-            t0 = time.time()
-            comp = zl.deflate(data, level)
-            ct = time.time() - t0
-            assert zlib.decompress(comp) == data
-            dts, zcs, zds = [], [], []
-            for _ in range(reps):
+            cts, dts, zcs, zds = [], [], [], []
+            for _ in range(reps):  # everything medians (b.ml:11-20)
+                t0 = time.time()
+                comp = zl.deflate(data, level)
+                cts.append(time.time() - t0)
                 t0 = time.time()
                 out = zl.inflate(comp)
                 dts.append(time.time() - t0)
@@ -60,7 +59,8 @@ def table_mode(levels=(6,), reps: int = 3) -> int:
                 t0 = time.time()
                 zout = zlib.decompress(zcomp)
                 zds.append(time.time() - t0)
-            dt, zct, zdt = _median(dts), _median(zcs), _median(zds)
+            assert zlib.decompress(comp) == data
+            ct, dt, zct, zdt = (_median(x) for x in (cts, dts, zcs, zds))
             assert out == data and zout == data
             tot_in += len(data)
             tot_ours += len(comp)

@@ -68,6 +68,11 @@ def _load():
         lib.tpuz_inflate_error.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_total_out.restype = ctypes.c_uint64
         lib.tpuz_inflate_total_out.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_set_cursor.argtypes = [ctypes.c_void_p,
+                                                ctypes.c_uint64]
+        lib.tpuz_inflate_cursor.restype = ctypes.c_uint64
+        lib.tpuz_inflate_cursor.argtypes = [ctypes.c_void_p]
+        lib.tpuz_inflate_reset_keep_window.argtypes = [ctypes.c_void_p]
         lib.tpuz_inflate_set_window_bits.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.tpuz_inflate_set_dictionary.argtypes = [
             ctypes.c_void_p, u8p, ctypes.c_uint32]
@@ -222,6 +227,22 @@ class InflateStream:
         if not c._h:  # malloc failure returns NULL; never pass it on
             raise MemoryError("tpuz_inflate_clone failed")
         return c
+
+    def unsafe_set_cursor(self, pos: int) -> None:
+        """Position the 32 KiB window ring cursor directly (reference
+        `unsafe_set_cursor`, de.ml:1826 / de.mli:669) — the git-delta
+        flow's window-restore primitive."""
+        self._lib.tpuz_inflate_set_cursor(self._h, int(pos))
+
+    @property
+    def cursor(self) -> int:
+        return self._lib.tpuz_inflate_cursor(self._h)
+
+    def reset_keep_window(self) -> None:
+        """Reset for a NEW raw stream, keeping window bytes + cursor:
+        decode a base object, reset_keep_window, decode a delta whose
+        far distances resolve into the base (no dictionary copy)."""
+        self._lib.tpuz_inflate_reset_keep_window(self._h)
 
     def set_dictionary(self, dict_bytes: bytes) -> None:
         b = bytes(dict_bytes)

@@ -751,6 +751,29 @@ int tpuz_inflate_takeback(TpuzInflate* s, uint8_t* out, int cap) {
   return n;
 }
 
+// Window-cursor control (reference `unsafe_set_cursor`, de.ml:1826 /
+// de.mli:669): git-style delta consumers position the ring cursor
+// directly instead of feeding a dictionary.  The cursor IS total_out
+// (the ring index is total_out & 32767).
+void tpuz_inflate_set_cursor(TpuzInflate* s, uint64_t pos) {
+  s->total_out = pos;
+}
+uint64_t tpuz_inflate_cursor(const TpuzInflate* s) { return s->total_out; }
+// Reset the stream machine for a NEW raw-deflate stream while keeping
+// the window ring and cursor — the delta flow: decode the base object,
+// reset-keep-window, decode the delta whose far distances resolve into
+// the base's bytes (no set_dictionary copy).
+void tpuz_inflate_reset_keep_window(TpuzInflate* s) {
+  uint8_t win[32768];
+  memcpy(win, s->window, sizeof(win));
+  uint64_t tout = s->total_out;
+  uint32_t keep_limit = s->win_limit ? s->win_limit : 32768;
+  memset(s, 0, sizeof(*s));
+  memcpy(s->window, win, sizeof(win));
+  s->total_out = tout;
+  s->win_limit = keep_limit;
+}
+
 int tpuz_inflate_set_dictionary(TpuzInflate* s, const uint8_t* dict, uint32_t len) {
   if (len > 32768) { dict += len - 32768; len = 32768; }
   // place dictionary as if it were prior output

@@ -259,6 +259,33 @@ class Inflate:
         self.error = None
         self._given_back = b""
 
+    def unsafe_set_cursor(self, pos: int) -> None:
+        """Position the window ring cursor directly (reference
+        `unsafe_set_cursor`, de.ml:1826 / de.mli:669): back-references
+        of subsequently decoded streams resolve as if ``pos`` bytes had
+        been output.  Unsafe exactly like the reference's — no
+        validation, the caller owns window consistency."""
+        self._stream.unsafe_set_cursor(pos)
+
+    @property
+    def cursor(self) -> int:
+        """Current window ring cursor (== total bytes output unless
+        moved by :meth:`unsafe_set_cursor`)."""
+        return self._stream.cursor
+
+    def reset_keep_window(self) -> None:
+        """Reset for a NEW raw stream keeping window bytes + cursor —
+        the git-delta flow: decode the base object, reset_keep_window,
+        decode a delta whose far distances reach into the base (no
+        dictionary copy, cf. de.ml:1826's intended use)."""
+        self._stream.reset_keep_window()
+        self._pending_in = b""
+        self._out = b""
+        self._eoi = False
+        self._done = False
+        self.error = None
+        self._given_back = b""
+
     @property
     def total_out(self) -> int:
         return self._stream.total_out

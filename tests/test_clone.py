@@ -145,3 +145,66 @@ def test_gz_inf_clone(split_frac):
     # metadata snapshot survives on both
     if split > 10:
         assert snap.metadata is not None or inf.metadata is not None
+
+
+def test_set_cursor_delta_flow():
+    """Window-cursor restore (reference `unsafe_set_cursor`,
+    de.ml:1826 / de.mli:669): decode a base object, reset the machine
+    KEEPING the window, and decode a delta stream whose far distances
+    resolve into the base — no set_dictionary copy.  Moving the cursor
+    shifts how references resolve (and is the caller's risk, as in the
+    reference)."""
+    import zlib
+
+    import numpy as np
+
+    from decompress_tpu.streaming import Inflate
+
+    rng = np.random.default_rng(23)
+    base = bytes(int(b) for b in rng.integers(0, 7, 3000))
+    delta_src = base[500:900] + b"-interlude-" + base[2200:2600]
+    co = zlib.compressobj(6, zlib.DEFLATED, -15, 9, 0, base)
+    delta = co.compress(delta_src) + co.flush()
+
+    cb = zlib.compressobj(6, zlib.DEFLATED, -15)
+    base_stream = cb.compress(base) + cb.flush()
+
+    inf = Inflate()
+    inf.src(base_stream)
+    inf.src(b"")
+    out = bytearray()
+    while inf.decode() != "end":
+        out += inf.flush()
+    out += inf.flush()
+    assert bytes(out) == base
+    assert inf.cursor == len(base)
+
+    # delta decode against the retained window, cursor untouched
+    inf.reset_keep_window()
+    inf.src(delta)
+    inf.src(b"")
+    out2 = bytearray()
+    while inf.decode() != "end":
+        out2 += inf.flush()
+    out2 += inf.flush()
+    assert bytes(out2) == delta_src
+
+    # an explicitly MOVED cursor changes reference resolution: decoding
+    # the same delta with the cursor shifted back cannot reproduce it
+    inf2 = Inflate()
+    inf2.src(base_stream)
+    inf2.src(b"")
+    out3 = bytearray()
+    while inf2.decode() != "end":
+        out3 += inf2.flush()
+    out3 += inf2.flush()
+    inf2.reset_keep_window()
+    inf2.unsafe_set_cursor(len(base) - 64)
+    assert inf2.cursor == len(base) - 64
+    inf2.src(delta)
+    inf2.src(b"")
+    out4 = bytearray()
+    while inf2.decode() not in ("end", "malformed"):
+        out4 += inf2.flush()
+    out4 += inf2.flush()
+    assert bytes(out4) != delta_src
