@@ -439,44 +439,12 @@ def _deflate_pipelined(w, arr, nseg, level, seg, lz77_ops, force_block=None,
         if next_dispatch < len(batches):
             inflight.append(dispatch(next_dispatch))
             next_dispatch += 1
-        if not lz77_ops.LEVELS[level].exact and not bool(
-            np.asarray(res["exact"])[:b].all()
-        ):
-            # fingerprint overestimate (rare): redo this batch exactly
-            res = lz77_ops.lz77_analyze(
-                d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
-                level=level, seg_len=seg, force_exact=True,
-                window_bits=window_bits,
-            )
-        if lz77_ops.LEVELS[level].two_round:
-            lit_cost, dist_cost = lz77_ops._cost_tables_host(
-                np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
-            )
-            hot = (jnp.asarray(lz77_ops._hot_dists_host(
-                np.asarray(res["dist_counts"])))
-                if lz77_ops.LEVELS[level].mine else None)
-            res2 = lz77_ops.lz77_parse_cost(
-                d_data, res["cand_length"], res["cand_dist"],
-                jnp.asarray(n_valid), jnp.asarray(lit_cost),
-                jnp.asarray(dist_cost), jnp.asarray(hist_len),
-                hot, seg_len=seg,
-                lazy=lz77_ops.LEVELS[level].lazy, window_bits=window_bits,
-            )
-            if not bool(np.asarray(res2["exact"])[:b].all()):
-                resx = lz77_ops.lz77_analyze(
-                    d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
-                    level=level, seg_len=seg, force_exact=True,
-                    window_bits=window_bits,
-                )
-                res2 = lz77_ops.lz77_parse_cost(
-                    d_data, resx["cand_length"], resx["cand_dist"],
-                    jnp.asarray(n_valid), jnp.asarray(lit_cost),
-                    jnp.asarray(dist_cost), jnp.asarray(hist_len),
-                    hot, seg_len=seg,
-                    lazy=lz77_ops.LEVELS[level].lazy,
-                    window_bits=window_bits,
-                )
-            res = res2
+        # overestimate repair (trim-and-reparse) + the two-round
+        # cost-aware re-parse both live in analyze2_finish
+        res = lz77_ops.analyze2_finish(
+            res, d_data, jnp.asarray(n_valid), jnp.asarray(hist_len),
+            level=level, seg_len=seg, window_bits=window_bits,
+        )
         _finish_batch(w, arr, lo, hi, nseg, level, seg, lz77_ops,
                       data, n_valid, b, d_data, res, force_block)
 

@@ -160,9 +160,17 @@ def _fingerprints(w: jnp.ndarray) -> dict[int, jnp.ndarray]:
     """F[L][i] = fingerprint of bytes [i, i+L); F[4] is the exact word.
 
     Built by doubling with static rolls only — no gathers.
-    """
+
+    The doubling chain starts from a MULTIPLIED copy of the word, not
+    the raw word: ``_mix(a, b) = (a ^ rotl13(b)) * M`` over raw words
+    cancels whenever two single-byte diffs sit exactly 13 bit positions
+    apart (measured in the wild: "C-33…%N 9" vs "C-23…%N 1" collided at
+    span 32 — '3'^'2'=0x01 at +1 byte, '9'^'1'=0x08 at +7, and
+    rotl13(0x08000000) == 0x0100).  Multiplying first diffuses a byte
+    diff across the high bits, restoring ~2^-32 collision odds; F[4]
+    stays the exact raw word (probes and refine rely on it)."""
     fp = {4: w}
-    cur = w
+    cur = w * jnp.uint32(2246822519)
     for span in _FP_SPANS[1:]:
         cur = _mix(cur, jnp.roll(cur, -(span // 2)))
         fp[span] = cur
@@ -746,21 +754,128 @@ def _verify_matches(data_u8, on_path, is_match, length, dist, seg_len, n,
     return jnp.all(jnp.where(covered, eq, True))
 
 
+@functools.partial(jax.jit, static_argnames=("seg_len", "hist"))
+def lz77_trim_candidates(data, is_match, length, dist, cand_length, cand_dist,
+                         n_valid, *, seg_len: int, hist: int = HIST):
+    """Surgically trim candidates the verification pass caught
+    overestimating, instead of re-running the whole analysis with exact
+    extension (which costs ~65 full-domain gather pairs, measured
+    ~900 ms/batch on chip).
+
+    The covering-match machinery is :func:`_verify_matches`'s; here the
+    per-position compare feeds a suffix-min of mismatch positions, so
+    each SELECTED match learns its first mismatched byte and the
+    candidate at its start is trimmed to the proven-equal prefix
+    (bytes [s, fm) verified equal at the selected distance — the trim
+    is exact by construction, never another fingerprint guess).
+    Candidates falling under MIN_MATCH (or into the len-3 TOO_FAR rule)
+    are dropped.  Only selected matches are checked, so callers loop
+    trim -> re-parse until the verify passes (inexact candidates that
+    were never selected cost nothing until a parse picks them)."""
+
+    def one(seg, is_m, ln, dst, cl, cd, n):
+        posn = jnp.arange(seg_len, dtype=jnp.int32)
+        if seg_len <= 1 << 17:
+            c1 = jax.lax.cummax(
+                jnp.where(is_m, ((posn + 1) << 9) | ln, 0).astype(jnp.uint32)
+            ).astype(jnp.int32)
+            cov_start = (c1 >> 9) - 1
+            cov_len = c1 & 0x1FF
+            c2 = jax.lax.cummax(
+                jnp.where(is_m, (posn << 15) | (dst - 1), 0).astype(jnp.uint32)
+            ).astype(jnp.int32)
+            cov_dist = (c2 & 0x7FFF) + 1
+            covered = (c1 > 0) & (posn < cov_start + cov_len) & (posn < n)
+        else:
+            start = jnp.where(is_m, posn, -1)
+            cov_start = jax.lax.cummax(start)
+            safe_start = jnp.maximum(cov_start, 0)
+            cov = ((ln << 16) | dst)[safe_start]
+            cov_len = cov >> 16
+            cov_dist = cov & 0xFFFF
+            covered = (cov_start >= 0) & (posn < safe_start + cov_len) \
+                & (posn < n)
+        payload = seg[hist: hist + seg_len]
+        src = seg[jnp.maximum(hist + posn - cov_dist, 0)]
+        mism = covered & (payload != src)
+        big = jnp.int32(1 << 22)
+        fm = jax.lax.associative_scan(
+            jnp.minimum, jnp.where(mism, posn, big), reverse=True)
+        bad = is_m & (fm - posn < ln)
+        cl2 = jnp.where(bad, jnp.minimum(cl, fm - posn), cl)
+        cl2 = jnp.where(cl2 >= MIN_MATCH, cl2, 0)
+        cl2 = jnp.where((cl2 == MIN_MATCH) & (cd > TOO_FAR), 0, cl2)
+        return cl2
+
+    return jax.vmap(one)(data, is_match, length, dist, cand_length,
+                         cand_dist, n_valid)
+
+
+@functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy",
+                                             "two_round"))
+def lz77_reparse_greedy(data, cand_length, cand_dist, n_valid, *,
+                        seg_len: int, hist: int = HIST, lazy: bool = True,
+                        two_round: bool = False):
+    """Greedy/lazy take-defer + parse over GIVEN candidates — the tail
+    of :func:`lz77_analyze` without the match finding, for the
+    trim-and-reparse retry loop."""
+    p = _ceil_pow2(seg_len)
+    levels = p.bit_length() - 1
+
+    def one(seg, length, dist, n):
+        pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+        length = jnp.where(pay_idx < n, length, 0)
+        if lazy:
+            nxt_len = jnp.concatenate([length[1:], jnp.zeros(1, jnp.int32)])
+            defer = nxt_len > length
+        else:
+            defer = jnp.zeros(seg_len, bool)
+        take = (length >= MIN_MATCH) & ~defer
+        out = _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
+                                   p, levels)
+        out["cand_length"] = length
+        out["cand_dist"] = dist
+        if two_round:
+            md = jnp.where(out["is_match"], out["dist"], 0)
+            out["dist_counts"] = (
+                jnp.zeros(HOT_DIST_BINS, jnp.int32)
+                .at[jnp.clip(md, 0, HOT_DIST_BINS - 1)]
+                .add(out["is_match"].astype(jnp.int32), mode="drop")
+            )
+        return out
+
+    return jax.vmap(one)(data, cand_length, cand_dist, n_valid)
+
+
+#: trim-and-reparse attempts before the force_exact sledgehammer
+_TRIM_RETRIES = 3
+
+
 def analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
             window_bits: int = 15, hist: int = HIST):
-    """Host wrapper around :func:`lz77_analyze` that retries with the
-    exact-extension configuration when the verification pass reports a
-    fingerprint overestimate (roughly a once-per-hundreds-of-MB event);
-    results are therefore always byte-exact.
+    """Host wrapper around :func:`lz77_analyze` that repairs fingerprint
+    overestimates (the verification pass reports them) with the cheap
+    trim-and-reparse loop, falling back to the exact-extension re-run
+    only if trims keep surfacing new collisions; results are therefore
+    always byte-exact.
 
     ``window_bits`` (8..15) restricts match distances for small
     user-provided windows (make_window ~bits, de.ml:331-333)."""
     res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len,
                        window_bits=window_bits, hist=hist)
-    if LEVELS[level].exact:
+    cfg = LEVELS[level]
+    if cfg.exact or bool(np.asarray(res["exact"]).all()):
         return res
-    if bool(np.asarray(res["exact"]).all()):
-        return res
+    cl, cd = res["cand_length"], res["cand_dist"]
+    for _ in range(_TRIM_RETRIES):
+        cl = lz77_trim_candidates(data, res["is_match"], res["length"],
+                                  res["dist"], cl, cd, n_valid,
+                                  seg_len=seg_len, hist=hist)
+        res = lz77_reparse_greedy(data, cl, cd, n_valid, seg_len=seg_len,
+                                  hist=hist, lazy=cfg.lazy,
+                                  two_round=cfg.two_round)
+        if bool(np.asarray(res["exact"]).all()):
+            return res
     return lz77_analyze(
         data, n_valid, hist_len, level=level, seg_len=seg_len,
         force_exact=True, window_bits=window_bits, hist=hist,
@@ -956,24 +1071,39 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
             # scan; costs compete with the round-A candidate.  This
             # reaches structural periods (e.g. image row strides) that
             # the depth-K bucket search cannot see.
+            #
+            # Lanes merge by RUN LENGTH first (ties -> nearer) and only
+            # the merged winner gets a bit-cost evaluation: hot
+            # distances are frequent by construction, so their dist
+            # codes cost within a bit or two of each other and the
+            # longest run is the gain winner in all but pathological
+            # ties — while per-lane match_gain cost 4 full-domain
+            # gathers x HOT_DISTS (measured ~320 ms/MB of the round-B
+            # budget; the merge leaves only the 8 source-byte gathers
+            # and one gain evaluation).
             abs_idx = pay_idx + hist
             srcs = jnp.stack([
                 seg[jnp.maximum(abs_idx - hot[j], 0)] for j in range(HOT_DISTS)
             ])
             eqs = srcs == seg[hist:][None, :]
             runs = _run_length_scan_multi(eqs)
-            g0 = match_gain(length, dist)
+            hot_len = jnp.zeros(seg_len, jnp.int32)
+            hot_d = jnp.zeros(seg_len, jnp.int32)
             for j in range(HOT_DISTS):
                 d_j = hot[j]
                 ok_j = (abs_idx - d_j >= hist - hl) & (pay_idx < n) \
                     & (d_j >= 1) & (d_j <= max_dist)
                 len_j = jnp.where(ok_j, jnp.minimum(runs[j], MAX_MATCH), 0)
                 len_j = jnp.minimum(len_j, jnp.maximum(n - pay_idx, 0))
-                g_j = match_gain(len_j, jnp.full(seg_len, d_j))
-                better = g_j > g0
-                g0 = jnp.where(better, g_j, g0)
-                length = jnp.where(better, len_j, length)
-                dist = jnp.where(better, d_j, dist)
+                better = (len_j > hot_len) | ((len_j == hot_len)
+                                              & (d_j < hot_d))
+                hot_len = jnp.where(better, len_j, hot_len)
+                hot_d = jnp.where(better, d_j, hot_d)
+            g0 = match_gain(length, dist)
+            g_hot = match_gain(hot_len, hot_d)
+            better = g_hot > g0
+            length = jnp.where(better, hot_len, length)
+            dist = jnp.where(better, hot_d, dist)
         gain = match_gain(length, dist)
         if lazy:
             nxt_gain = jnp.concatenate(
@@ -1005,6 +1135,9 @@ def _hot_dists_host(dist_counts):
     for i in range(b):
         c = dist_counts[i].copy()
         c[:5] = 0
+        # the histogram clips distances >= HOT_DIST_BINS into the last
+        # bin — it is an overflow counter, not a real stride
+        c[HOT_DIST_BINS - 1] = 0
         top = np.argpartition(c, -HOT_DISTS)[-HOT_DISTS:]
         top = top[np.argsort(-c[top])]
         for j, d in enumerate(top):
@@ -1060,36 +1193,57 @@ def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
 def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
                     window_bits: int = 15, hist: int = HIST):
     cfg = LEVELS[level]
-    if not cfg.exact and not bool(np.asarray(res["exact"]).all()):
-        res = lz77_analyze(data, n_valid, hist_len, level=level,
-                           seg_len=seg_len, force_exact=True,
-                           window_bits=window_bits, hist=hist)
+    cl, cd = res["cand_length"], res["cand_dist"]
+    exact_a = cfg.exact or bool(np.asarray(res["exact"]).all())
+    if not exact_a:
+        # a selected round-A match overestimated: trim it exactly.
+        # Round A's histograms still feed the cost tables unrepaired —
+        # they are a heuristic distribution either way.
+        cl = lz77_trim_candidates(data, res["is_match"], res["length"],
+                                  res["dist"], cl, cd, n_valid,
+                                  seg_len=seg_len, hist=hist)
     if not cfg.two_round:
-        return res
+        if exact_a:
+            return res
+        for _ in range(_TRIM_RETRIES):
+            res = lz77_reparse_greedy(data, cl, cd, n_valid, seg_len=seg_len,
+                                      hist=hist, lazy=cfg.lazy)
+            if bool(np.asarray(res["exact"]).all()):
+                return res
+            cl = lz77_trim_candidates(data, res["is_match"], res["length"],
+                                      res["dist"], cl, cd, n_valid,
+                                      seg_len=seg_len, hist=hist)
+        return lz77_analyze(data, n_valid, hist_len, level=level,
+                            seg_len=seg_len, force_exact=True,
+                            window_bits=window_bits, hist=hist)
     lit_cost, dist_cost = _cost_tables_host(
         np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
     )
     import jax.numpy as _jnp
 
-    hot = _jnp.asarray(_hot_dists_host(np.asarray(res["dist_counts"]))) \
-        if cfg.mine else None
-    res2 = lz77_parse_cost(
-        data, res["cand_length"], res["cand_dist"], n_valid,
-        _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
-        hist_len, hot,
-        seg_len=seg_len, hist=hist, lazy=cfg.lazy, window_bits=window_bits,
-    )
-    if not bool(np.asarray(res2["exact"]).all()):
-        # a fingerprint overestimate among round-B's selections: redo
-        # with exact-extension candidates
-        resx = lz77_analyze(data, n_valid, hist_len, level=level,
-                            seg_len=seg_len, force_exact=True,
-                            window_bits=window_bits, hist=hist)
+    hot = None
+    if cfg.mine:
+        hot_np = _hot_dists_host(np.asarray(res["dist_counts"]))
+        if hot_np.any():  # all-zero rows: skip the 8-lane mining pass
+            hot = _jnp.asarray(hot_np)
+    lc, dc = _jnp.asarray(lit_cost), _jnp.asarray(dist_cost)
+    for _ in range(_TRIM_RETRIES):
         res2 = lz77_parse_cost(
-            data, resx["cand_length"], resx["cand_dist"], n_valid,
-            _jnp.asarray(lit_cost), _jnp.asarray(dist_cost),
-            hist_len, hot,
+            data, cl, cd, n_valid, lc, dc, hist_len, hot,
             seg_len=seg_len, hist=hist, lazy=cfg.lazy,
             window_bits=window_bits,
         )
-    return res2
+        if bool(np.asarray(res2["exact"]).all()):
+            return res2
+        cl = lz77_trim_candidates(data, res2["is_match"], res2["length"],
+                                  res2["dist"], cl, cd, n_valid,
+                                  seg_len=seg_len, hist=hist)
+    # trims keep surfacing collisions: exact-extension sledgehammer
+    resx = lz77_analyze(data, n_valid, hist_len, level=level,
+                        seg_len=seg_len, force_exact=True,
+                        window_bits=window_bits, hist=hist)
+    return lz77_parse_cost(
+        data, resx["cand_length"], resx["cand_dist"], n_valid, lc, dc,
+        hist_len, hot,
+        seg_len=seg_len, hist=hist, lazy=cfg.lazy, window_bits=window_bits,
+    )
