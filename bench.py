@@ -259,15 +259,18 @@ def main() -> int:
         _raw = (data * max(2, -(-(_b * _seg) // len(data))))[: _b * _seg]
         _d = _np2.frombuffer(_raw, _np2.uint8).reshape(_b, _seg)
 
+        _dd0 = _jnp2.asarray(_d)
+        _sel = _lz77.mark_sel_for(_dd0)
+
         @_jax.jit
         def _run(dd, nn, hh):
             r = _lz77.lz77_analyze(dd, nn, hh, level=args.level,
-                                   seg_len=_seg, hist=0)
+                                   seg_len=_seg, hist=0, mark_sel=_sel)
             return (_jnp2.sum(r["on_path"]) + _jnp2.sum(r["length"])
                     + _jnp2.sum(r["dist"]) + _jnp2.sum(r["hist_lit"])
                     + _jnp2.sum(r["hist_dist"]))
 
-        _dd = _jnp2.asarray(_d)
+        _dd = _dd0
         _nn = _jnp2.full(_b, _seg, _jnp2.int32)
         _hh = _jnp2.zeros(_b, _jnp2.int32)
         int(_run(_dd, _nn, _hh))  # warm (first run may compile; cached on disk)
@@ -285,7 +288,7 @@ def main() -> int:
         t_round_b = 0.0
         if _lz77.LEVELS[args.level].two_round:
             _res = _lz77.lz77_analyze(_dd, _nn, _hh, level=args.level,
-                                      seg_len=_seg, hist=0)
+                                      seg_len=_seg, hist=0, mark_sel=_sel)
             _lc_np, _dc_np = _lz77._cost_tables_host(
                 _np2.asarray(_res["hist_lit"]),
                 _np2.asarray(_res["hist_dist"]))
@@ -300,7 +303,7 @@ def main() -> int:
             def _run_b():
                 r2 = _lz77.lz77_parse_cost(
                     _dd, _cl, _cd, _nn, _lc, _dc, _hh, _hot,
-                    seg_len=_seg, hist=0,
+                    seg_len=_seg, hist=0, mark_sel=_sel,
                     lazy=_lz77.LEVELS[args.level].lazy)
                 return int(_jnp2.sum(r2["on_path"])
                            + _jnp2.sum(r2["length"])

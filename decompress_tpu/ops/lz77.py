@@ -117,6 +117,28 @@ def _descent_mode() -> str:
     return os.environ.get("DECOMPRESS_TPU_DESCENT", "compact")
 
 
+def mark_sel_for(arr) -> str:
+    """Resolve the mark-path kernel for ``arr``'s device: the Pallas
+    row-doubling kernel on TPU, the XLA hybrid elsewhere.  Selection by
+    the ARRAY's device, not jax.devices()[0] (a CPU mesh must not lower
+    Mosaic even when the TPU plugin is present — the dryrun env); the
+    result is a STATIC argument of the analyze jits, so mixed-backend
+    processes never reuse a stale trace.  Override with
+    DECOMPRESS_TPU_PARSE_KERNEL={auto,pl,xla,pl-interpret}."""
+    import os
+
+    v = os.environ.get("DECOMPRESS_TPU_PARSE_KERNEL", "auto")
+    if v in ("pl", "xla", "pl-interpret"):
+        return v
+    if v in ("0", "off"):
+        return "xla"
+    try:
+        plat = next(iter(arr.devices())).platform
+    except Exception:
+        return "xla"
+    return "pl" if plat in ("tpu", "axon") else "xla"
+
+
 def _ceil_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -812,17 +834,17 @@ def lz77_trim_candidates(data, is_match, length, dist, cand_length, cand_dist,
 
 
 @functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy",
-                                             "two_round"))
+                                             "two_round", "mark_sel"))
 def lz77_reparse_greedy(data, cand_length, cand_dist, n_valid, *,
                         seg_len: int, hist: int = HIST, lazy: bool = True,
-                        two_round: bool = False):
+                        two_round: bool = False, mark_sel: str = "xla"):
     """Greedy/lazy take-defer + parse over GIVEN candidates — the tail
     of :func:`lz77_analyze` without the match finding, for the
     trim-and-reparse retry loop."""
     p = _ceil_pow2(seg_len)
     levels = p.bit_length() - 1
 
-    def one(seg, length, dist, n):
+    def one_pre(length, n):
         pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
         length = jnp.where(pay_idx < n, length, 0)
         if lazy:
@@ -831,10 +853,16 @@ def lz77_reparse_greedy(data, cand_length, cand_dist, n_valid, *,
         else:
             defer = jnp.zeros(seg_len, bool)
         take = (length >= MIN_MATCH) & ~defer
-        out = _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
-                                   p, levels)
-        out["cand_length"] = length
-        out["cand_dist"] = dist
+        return take, length
+
+    take, length = jax.vmap(one_pre)(cand_length, n_valid)
+    on_path_full = _mark_batched(take, length, seg_len, p, levels, mark_sel)
+
+    def one_post(seg, n, take_r, length_r, dist_r, opf):
+        out = _summarize_one(seg, opf, take_r, length_r, dist_r, n,
+                             seg_len, hist)
+        out["cand_length"] = length_r
+        out["cand_dist"] = dist_r
         if two_round:
             md = jnp.where(out["is_match"], out["dist"], 0)
             out["dist_counts"] = (
@@ -844,7 +872,8 @@ def lz77_reparse_greedy(data, cand_length, cand_dist, n_valid, *,
             )
         return out
 
-    return jax.vmap(one)(data, cand_length, cand_dist, n_valid)
+    return jax.vmap(one_post)(data, n_valid, take, length, cand_dist,
+                              on_path_full)
 
 
 #: trim-and-reparse attempts before the force_exact sledgehammer
@@ -861,8 +890,9 @@ def analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
 
     ``window_bits`` (8..15) restricts match distances for small
     user-provided windows (make_window ~bits, de.ml:331-333)."""
+    sel = mark_sel_for(data)
     res = lz77_analyze(data, n_valid, hist_len, level=level, seg_len=seg_len,
-                       window_bits=window_bits, hist=hist)
+                       window_bits=window_bits, hist=hist, mark_sel=sel)
     cfg = LEVELS[level]
     if cfg.exact or bool(np.asarray(res["exact"]).all()):
         return res
@@ -873,20 +903,21 @@ def analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
                                   seg_len=seg_len, hist=hist)
         res = lz77_reparse_greedy(data, cl, cd, n_valid, seg_len=seg_len,
                                   hist=hist, lazy=cfg.lazy,
-                                  two_round=cfg.two_round)
+                                  two_round=cfg.two_round, mark_sel=sel)
         if bool(np.asarray(res["exact"]).all()):
             return res
     return lz77_analyze(
         data, n_valid, hist_len, level=level, seg_len=seg_len,
-        force_exact=True, window_bits=window_bits, hist=hist,
+        force_exact=True, window_bits=window_bits, hist=hist, mark_sel=sel,
     )
 
 
 @functools.partial(jax.jit, static_argnames=("level", "seg_len", "force_exact",
-                                             "window_bits", "hist"))
+                                             "window_bits", "hist",
+                                             "mark_sel"))
 def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
                  force_exact: bool = False, window_bits: int = 15,
-                 hist: int = HIST):
+                 hist: int = HIST, mark_sel: str = "xla"):
     """Match-find + parse a batch of segments.
 
     data: uint8[B, HIST + seg_len] — 32 KiB history prefix then payload
@@ -897,6 +928,9 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     (EOB not included), hist_dist[B, 30], and exact[B] (False means
     a fingerprint overestimated somewhere: re-run with the exact
     config — the de driver handles this).
+
+    ``mark_sel`` statically picks the parse mark-path kernel ("pl" on
+    TPU via :func:`mark_sel_for`, "xla" default — always correct).
     """
     import os
     _ablate = os.environ.get("DECOMPRESS_TPU_LZ77_ABLATE", "")
@@ -909,7 +943,7 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     p = _ceil_pow2(seg_len)
     levels = p.bit_length() - 1
 
-    def one(seg, n, hl):
+    def one_pre(seg, n, hl):
         valid_lo = hist - hl
         valid_hi = hist + n
         if _ablate == "cand":
@@ -931,11 +965,17 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
         else:
             defer = jnp.zeros(seg_len, bool)
         take = (length >= MIN_MATCH) & ~defer
+        return take, length, dist
 
-        out = _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
-                                   p, levels, _ablate)
-        out["cand_length"] = length
-        out["cand_dist"] = dist
+    take, length, dist = jax.vmap(one_pre)(data, n_valid, hist_len)
+    on_path_full = _mark_batched(take, length, seg_len, p, levels,
+                                 mark_sel, _ablate)
+
+    def one_post(seg, n, take_r, length_r, dist_r, opf):
+        out = _summarize_one(seg, opf, take_r, length_r, dist_r, n,
+                             seg_len, hist)
+        out["cand_length"] = length_r
+        out["cand_dist"] = dist_r
         if cfg.two_round:
             # exact-distance histogram of the selected matches: round B
             # mines it for "hot" strided distances (structural periods
@@ -949,34 +989,49 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
             )
         return out
 
-    return jax.vmap(one)(data, n_valid, hist_len)
+    return jax.vmap(one_post)(data, n_valid, take, length, dist,
+                              on_path_full)
 
 
-def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
-                         _ablate=""):
-    """Shared tail of the analyze passes: greedy walk over the chosen
-    take/step arrays, exact verification, symbol histograms."""
+def _mark_batched(take, plen, seg_len, p, levels, mark_sel="xla",
+                  _ablate=""):
+    """Batched jump-build + mark-path over [B, seg_len] take/step
+    arrays -> on_path bool[B, P].
+
+    The parse runs over the payload-only domain [0, P).  Jump values
+    may reach P ("walked off the end") — match lengths are clamped to
+    the valid payload upstream, so no target exceeds seg_len and the
+    domain needs no MAX_MATCH overshoot padding (P = 2^17, not 2^18,
+    for the production 128 KiB segments: half the full-domain gather
+    volume).  ``mark_sel`` picks the kernel: "pl" = the Pallas
+    row-doubling kernel (ops/parse_pl.py), "xla" = the hybrid
+    exit/entry-table walk."""
+    b = take.shape[0]
+    step = jnp.where(take, plen, 1)
+    gseg = jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32)[None, :] + step, p)
+    if p > seg_len:
+        tail = jnp.minimum(
+            jnp.arange(seg_len, p, dtype=jnp.int32) + 1, p)
+        g2 = jnp.concatenate(
+            [gseg, jnp.broadcast_to(tail[None, :], (b, p - seg_len))], axis=1)
+    else:
+        g2 = gseg
+    if _ablate == "parse":
+        return g2 > jnp.flip(g2, axis=1)  # data-dependent placeholder
+    if _ablate == "fullparse":
+        return jax.vmap(lambda g: _mark_path(g, levels))(g2)
+    if mark_sel in ("pl", "pl-interpret"):
+        from . import parse_pl
+
+        return parse_pl.mark_path_pl(g2, interpret=mark_sel == "pl-interpret")
+    return jax.vmap(lambda g: _mark_path_hybrid(g, levels))(g2)
+
+
+def _summarize_one(seg, on_path_full, take, plen, dist, n, seg_len, hist):
+    """Per-segment tail of the analyze passes: exact verification and
+    symbol histograms over the marked parse."""
     t = hist + seg_len
     pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
-
-    # parse over the payload-only domain [0, P).  Jump values may reach
-    # P ("walked off the end") — match lengths are clamped to the valid
-    # payload upstream, so no target exceeds seg_len and the domain
-    # needs no MAX_MATCH overshoot padding (P = 2^17, not 2^18, for the
-    # production 128 KiB segments: half the full-domain gather volume).
-    ppos = jnp.arange(p, dtype=jnp.int32)
-    g = jnp.minimum(ppos + 1, p)
-    step = jnp.where(take, plen, 1)
-    g = g.at[:seg_len].set(
-        jnp.minimum(jnp.arange(seg_len, dtype=jnp.int32) + step, p)
-    )
-    if _ablate == "parse":
-        on_path_full = g > jnp.flip(g)  # data-dependent placeholder
-    elif _ablate == "fullparse":
-        on_path_full = _mark_path(g, levels)
-    else:
-        on_path_full = _mark_path_hybrid(g, levels)
-
     on_path = on_path_full[:seg_len] & (pay_idx < n)
     is_match = on_path & take
     mlen = jnp.where(is_match, plen, 0)
@@ -1007,11 +1062,12 @@ def _parse_and_summarize(seg, take, plen, dist, n, seg_len, hist, p, levels,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy"))
+@functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy",
+                                             "mark_sel"))
 def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
                     hist_len=None, hot_dists=None,
                     *, seg_len: int, hist: int = HIST, lazy: bool = True,
-                    window_bits: int = 15):
+                    window_bits: int = 15, mark_sel: str = "xla"):
     """Cost-aware re-parse (round B of the two-round analysis).
 
     Round A's greedy parse fixes a symbol distribution; its canonical
@@ -1113,17 +1169,23 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
         else:
             defer = jnp.zeros(seg_len, bool)
         take = (length >= MIN_MATCH) & (gain > 0) & ~defer
-        return _parse_and_summarize(seg, take, length, dist, n, seg_len, hist,
-                                    p, levels)
+        return take, length, dist
 
     if hist_len is None:
         hist_len = n_valid * 0
     if hot_dists is None:
-        return jax.vmap(
+        take, length, dist = jax.vmap(
             lambda a, b, c, d, e, f, g: one(a, b, c, d, e, f, g, None)
         )(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost, hist_len)
-    return jax.vmap(one)(data, cand_length, cand_dist, n_valid, lit_cost,
-                         dist_cost, hist_len, hot_dists)
+    else:
+        take, length, dist = jax.vmap(one)(
+            data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
+            hist_len, hot_dists)
+    on_path_full = _mark_batched(take, length, seg_len, p, levels, mark_sel)
+    return jax.vmap(
+        lambda seg, n, t, ln, dd, opf: _summarize_one(
+            seg, opf, t, ln, dd, n, seg_len, hist)
+    )(data, n_valid, take, length, dist, on_path_full)
 
 
 def _hot_dists_host(dist_counts):
@@ -1175,7 +1237,8 @@ def analyze2_start(data, n_valid, hist_len, *, level: int, seg_len: int,
     starts first so device work pipelines ahead of the host fetches
     (the look-ahead the de driver already does for packing)."""
     return lz77_analyze(data, n_valid, hist_len, level=level,
-                        seg_len=seg_len, window_bits=window_bits, hist=hist)
+                        seg_len=seg_len, window_bits=window_bits, hist=hist,
+                        mark_sel=mark_sel_for(data))
 
 
 def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
@@ -1193,6 +1256,7 @@ def analyze2(data, n_valid, hist_len, *, level: int, seg_len: int,
 def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
                     window_bits: int = 15, hist: int = HIST):
     cfg = LEVELS[level]
+    sel = mark_sel_for(data)
     cl, cd = res["cand_length"], res["cand_dist"]
     exact_a = cfg.exact or bool(np.asarray(res["exact"]).all())
     if not exact_a:
@@ -1207,7 +1271,7 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
             return res
         for _ in range(_TRIM_RETRIES):
             res = lz77_reparse_greedy(data, cl, cd, n_valid, seg_len=seg_len,
-                                      hist=hist, lazy=cfg.lazy)
+                                      hist=hist, lazy=cfg.lazy, mark_sel=sel)
             if bool(np.asarray(res["exact"]).all()):
                 return res
             cl = lz77_trim_candidates(data, res["is_match"], res["length"],
@@ -1215,7 +1279,7 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
                                       seg_len=seg_len, hist=hist)
         return lz77_analyze(data, n_valid, hist_len, level=level,
                             seg_len=seg_len, force_exact=True,
-                            window_bits=window_bits, hist=hist)
+                            window_bits=window_bits, hist=hist, mark_sel=sel)
     lit_cost, dist_cost = _cost_tables_host(
         np.asarray(res["hist_lit"]), np.asarray(res["hist_dist"])
     )
@@ -1231,7 +1295,7 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
         res2 = lz77_parse_cost(
             data, cl, cd, n_valid, lc, dc, hist_len, hot,
             seg_len=seg_len, hist=hist, lazy=cfg.lazy,
-            window_bits=window_bits,
+            window_bits=window_bits, mark_sel=sel,
         )
         if bool(np.asarray(res2["exact"]).all()):
             return res2
@@ -1241,9 +1305,10 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
     # trims keep surfacing collisions: exact-extension sledgehammer
     resx = lz77_analyze(data, n_valid, hist_len, level=level,
                         seg_len=seg_len, force_exact=True,
-                        window_bits=window_bits, hist=hist)
+                        window_bits=window_bits, hist=hist, mark_sel=sel)
     return lz77_parse_cost(
         data, resx["cand_length"], resx["cand_dist"], n_valid, lc, dc,
         hist_len, hot,
         seg_len=seg_len, hist=hist, lazy=cfg.lazy, window_bits=window_bits,
+        mark_sel=sel,
     )

@@ -36,16 +36,20 @@ def main():
     n_valid = np.full(b, seg, np.int32)
     hist_len = np.zeros(b, np.int32)
 
+    d = jnp.asarray(data)
+    sel = lz77.mark_sel_for(d)
+    print(f"mark_sel={sel}", flush=True)
+
     @jax.jit
     def run(d, n, h):
-        res = lz77.lz77_analyze(d, n, h, level=LEVEL, seg_len=seg)
+        res = lz77.lz77_analyze(d, n, h, level=LEVEL, seg_len=seg,
+                                mark_sel=sel)
         return (
             jnp.sum(res["on_path"]) + jnp.sum(res["length"]) + jnp.sum(res["dist"])
             + jnp.sum(res["hist_lit"]) + jnp.sum(res["hist_dist"])
             + jnp.sum(res["exact"])
         )
 
-    d = jnp.asarray(data)
     n = jnp.asarray(n_valid)
     h = jnp.asarray(hist_len)
     t0 = time.time()

@@ -75,11 +75,13 @@ def main():
     d = jnp.asarray(data)
     nv = jnp.asarray(n_valid)
     hl = jnp.asarray(hist_len)
+    sel = lz77.mark_sel_for(d)
+    print(f"# mark_sel={sel}", flush=True)
 
     @jax.jit
     def run_analyze(dd, nn, hh):
         r = lz77.lz77_analyze(dd, nn, hh, level=args.level, seg_len=seg,
-                              hist=0)
+                              hist=0, mark_sel=sel)
         return (jnp.sum(r["on_path"]) + jnp.sum(r["length"])
                 + jnp.sum(r["dist"]) + jnp.sum(r["hist_lit"])
                 + jnp.sum(r["hist_dist"]))
