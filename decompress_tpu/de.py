@@ -666,38 +666,60 @@ def _get_pack_jit():
         # has cmdi == j*stride (cmdi is the exclusive command count),
         # so all n_splits-1 boundaries resolve with three scatters
         # instead of a per-boundary reduction loop.
-        bsz2 = on_path.shape[0]
         nslots = n_splits - 1
+        # boundary resolution by BINARY SEARCH instead of scatter-max:
+        # boff (and cmdi) are monotone over positions, so the command
+        # owning boundary j is `searchsorted(key, q_j, 'right') - 1` —
+        # nslots*log2(T) gathered elements per segment instead of three
+        # full-T scatter passes (measured ~22 ms/MB of the pack budget;
+        # scatters run ~141 M elem/s on this chip, PERF.md).
         if split_bits:
             # fixed-BIT-stride splits (the Pallas decoder's preferred
             # geometry): boundary j goes to the command whose bit span
-            # CONTAINS j*split_bits.  Commands are <= 48 bits, so each
-            # command contains at most one boundary and the scatter
-            # stays collision-free; spans between split points are
-            # bounded by split_bits + 48, which bounds the decoder's
-            # per-lane word slabs and its lane drift.
-            jidx = (boff + posbits - 1) // split_bits
-            sel = (on_path & (cmdi > 0) & (jidx > (boff - 1) // split_bits)
-                   & (jidx >= 1) & (jidx <= nslots))
+            # CONTAINS j*split_bits (commands are <= 48 bits, so each
+            # command contains at most one boundary); spans between
+            # split points are bounded by split_bits + 48, which bounds
+            # the decoder's per-lane word slabs and its lane drift.
+            # The last position with boff <= j*split_bits is that
+            # command: command spans tile the body bit range, and the
+            # non-emitting positions trailing a command share the NEXT
+            # command's start offset.
+            qs = jnp.arange(1, nslots + 1, dtype=jnp.int32) * split_bits
+            key = boff
         else:
-            jidx = cmdi // split_stride
-            sel = (on_path & (cmdi > 0) & (cmdi % split_stride == 0)
-                   & (jidx <= nslots))
-        rowi = jnp.arange(bsz2, dtype=jnp.int32)[:, None]
-        slot = jnp.where(sel, rowi * nslots + (jidx - 1), bsz2 * nslots)
+            # fixed-STRIDE command splits: boundary j is the command
+            # with (exclusive) command index j*split_stride — the last
+            # position with cmdi <= j*split_stride (the positions after
+            # it carry cmdi + 1).
+            qs = jnp.arange(1, nslots + 1, dtype=jnp.int32) * split_stride
+            key = cmdi
 
-        def scat(a):
-            return (
-                jnp.zeros(bsz2 * nslots + 1, jnp.int32)
-                .at[slot.ravel()]
-                .max(jnp.where(sel, a, 0).ravel(), mode="drop")
-            )[: bsz2 * nslots].reshape(bsz2, nslots)
+        def srch(key_row):
+            return jnp.searchsorted(key_row, qs, side="right") - 1
+
+        idx = jax.vmap(srch)(key)              # [B, nslots], may be -1
+        safe = jnp.maximum(idx, 0)
+
+        def take(a):
+            return jnp.take_along_axis(a, safe, axis=1)
+
+        if split_bits:
+            # valid iff the found command really contains the boundary
+            sel = ((idx >= 0) & take(on_path) & (take(cmdi) > 0)
+                   & (take(boff) <= qs[None, :])
+                   & (take(boff) + take(posbits) > qs[None, :]))
+        else:
+            sel = ((idx >= 0) & take(on_path) & (take(cmdi) > 0)
+                   & (take(cmdi) == qs[None, :]))
+
+        def pick(a):
+            return jnp.where(sel, take(a), 0)
 
         # total command count per member (EOB included): lets the index
         # writer derive the final row's density for the compact TB
         # subfield (sharded._build_index)
         ncmds = jnp.sum(on_i, axis=1) + 1
-        splits = (scat(boff), scat(cmdi), scat(opos), ncmds)
+        splits = (pick(boff), pick(cmdi), pick(opos), ncmds)
         return packed, splits
 
     _PACK_JIT = pack
