@@ -216,11 +216,14 @@ def main() -> int:
                 mw_r, sb_r, sc_r.astype(_np.int64), rm_r, ll_r, dl_r, sp_r,
                 max_real=int(max(tbm["max_cmds"])) + 4)
             _ = int(_jnp.sum(_ipl.run_pl(st)[1]))  # warm
-            t0 = time.time()
-            okv = _ipl.run_pl(st)[1]
-            nok = int(_jnp.sum(okv))
+            _ts = []
+            for _ in range(max(args.reps, 3)):
+                t0 = time.time()
+                okv = _ipl.run_pl(st)[1]
+                nok = int(_jnp.sum(okv))
+                _ts.append(time.time() - t0)
             d_kernel_mbps = kernel_batch_mb * len(data) / args.size_mb \
-                / 1e6 / (time.time() - t0)
+                / 1e6 / _median(_ts)
             assert nok == okv.size, "pl kernel rows not ok"
         else:
             lt, dtab = _iops.build_fused_tables(
@@ -239,9 +242,11 @@ def main() -> int:
     except Exception:
         pass
 
-    # kernel-resident deflate analyze (tunnel excluded): the dominant
-    # compress kernel, timed on staged device data fetching one scalar
+    # kernel-resident deflate pipeline (tunnel excluded): analyze
+    # round A + round B, host block planning, and the pack kernel,
+    # timed on staged device data fetching one scalar each
     c_kernel_mbps = 0.0
+    c_pipeline_mbps = 0.0
     try:
         import numpy as _np2
         import jax as _jax
@@ -270,13 +275,19 @@ def main() -> int:
                     + _jnp2.sum(r["dist"]) + _jnp2.sum(r["hist_lit"])
                     + _jnp2.sum(r["hist_dist"]))
 
+        def _tmed(fn, reps=max(args.reps, 3)):
+            ts = []
+            for _ in range(reps):
+                t0 = time.time()
+                fn()
+                ts.append(time.time() - t0)
+            return _median(ts)
+
         _dd = _dd0
         _nn = _jnp2.full(_b, _seg, _jnp2.int32)
         _hh = _jnp2.zeros(_b, _jnp2.int32)
         int(_run(_dd, _nn, _hh))  # warm (first run may compile; cached on disk)
-        t0 = time.time()
-        int(_run(_dd, _nn, _hh))
-        t_round_a = time.time() - t0
+        t_round_a = _tmed(lambda: int(_run(_dd, _nn, _hh)))
 
         # round B (two-round levels): the production pipeline's
         # cost-aware re-parse is part of the per-chip deflate rate.
@@ -310,19 +321,64 @@ def main() -> int:
                            + _jnp2.sum(r2["exact"]))
 
             _run_b()  # warm
-            t0 = time.time()
-            _run_b()
-            t_round_b = time.time() - t0
+            t_round_b = _tmed(_run_b)
+
+        # the REST of the production deflate pipeline: host block
+        # planning (tree build + headers) and the device pack kernel
+        # with split points — so the published deflate rate covers the
+        # full analyze -> plan -> pack path, not just the analyze
+        # kernels (the round-4 verdict's honesty item).
+        if _lz77.LEVELS[args.level].two_round:
+            _res_f = _lz77.lz77_parse_cost(
+                _dd, _cl, _cd, _nn, _lc, _dc, _hh, _hot,
+                seg_len=_seg, hist=0, mark_sel=_sel,
+                lazy=_lz77.LEVELS[args.level].lazy)
+        else:
+            _res_f = _res = _lz77.lz77_analyze(
+                _dd, _nn, _hh, level=args.level, seg_len=_seg, hist=0,
+                mark_sel=_sel)
+        _hist_lit = _np2.asarray(_res_f["hist_lit"])
+        _hist_dist = _np2.asarray(_res_f["hist_dist"])
+        _nn_np = _np2.full(_b, _seg, _np2.int32)
+        _finals = _np2.ones(_b, bool)
+
+        def _run_plan():
+            return _de.plan_blocks(_hist_lit, _hist_dist, _nn_np, _finals,
+                                   pad_to=_b)
+
+        t_plan = _tmed(_run_plan)
+        _hdr, _tabs, _kinds = _run_plan()
+        from decompress_tpu.parallel import sharded as _sharded
+
+        _out_words = (9 * _seg) // 32 + 2 * _de._HDR_PAD
+        _tab_dev = [_jnp2.asarray(t) for t in (_hdr[0], _hdr[1], *_tabs)]
+
+        def _run_pack():
+            pk = _de._pack_segments(
+                _res_f, _dd, *_tab_dev, _out_words,
+                n_splits=_sharded.N_SPLITS,
+                split_stride=_sharded.SPLIT_STRIDE,
+                split_bits=_sharded.SPLIT_BITS)
+            (_w, _totals), _sp = pk
+            return int(_jnp2.sum(_totals))
+
+        _run_pack()  # warm
+        t_pack = _tmed(_run_pack)
         c_kernel_mbps = _b * _seg / 1e6 / (t_round_a + t_round_b)
+        c_pipeline_mbps = _b * _seg / 1e6 / (
+            t_round_a + t_round_b + t_plan + t_pack)
     except Exception:
-        pass
+        c_pipeline_mbps = 0.0
 
     ratio = len(arch) / len(data)
     # BASELINE targets are per-CHIP rates; the chip-resident kernel
     # rates are the honest reading (a production host feeds the chip
     # over PCIe/ICI at GB/s, not this bring-up tunnel's ~10-25 MB/s).
     # End-to-end tunnel-bound numbers stay in `extra`, labelled.
-    c_kern_gbps = c_kernel_mbps / 1e3
+    # the deflate leg of the headline geomean is the FULL pipeline
+    # (round A + round B + host plan + pack with splits); the
+    # analyze-only rate stays as a separate labelled field
+    c_kern_gbps = c_pipeline_mbps / 1e3
     d_kern_gbps = d_kernel_mbps / 1e3
     if c_kern_gbps > 0 and d_kern_gbps > 0:
         vs = ((c_kern_gbps / 0.5) * (d_kern_gbps / 1.0)) ** 0.5
@@ -334,6 +390,7 @@ def main() -> int:
     extra_kernels = {
         "inflate_device_kernel_MBps": round(d_kernel_mbps, 1),
         "inflate_kernel_batch_mb": kernel_batch_mb,
+        "deflate_pipeline_kernel_MBps": round(c_pipeline_mbps, 2),
         "deflate_analyze_kernel_MBps": round(c_kernel_mbps, 2),
     }
     unit = "GB/s/chip (kernel-resident geomean)"
@@ -346,6 +403,8 @@ def main() -> int:
         vs = 0.0
         extra_kernels = {
             "inflate_kernel_MBps_CPU_FALLBACK": round(d_kernel_mbps, 1),
+            "deflate_pipeline_kernel_MBps_CPU_FALLBACK":
+                round(c_pipeline_mbps, 2),
             "deflate_analyze_kernel_MBps_CPU_FALLBACK": round(c_kernel_mbps, 2),
         }
 
@@ -372,8 +431,14 @@ def main() -> int:
                     "level": args.level,
                     "size_mb": args.size_mb,
                     "note": "value/vs_baseline = chip-resident kernel "
-                            "rates; *_e2e_tunnel fields ride the "
-                            "~10-25MB/s bring-up tunnel",
+                            "rates (medians); deflate leg = full "
+                            "pipeline A+B+plan+pack incl. split points "
+                            "(deflate_analyze_* = A+B only); inflate "
+                            "leg = total-batch decode rate at "
+                            "inflate_kernel_batch_mb (PERF.md's ladder "
+                            "total, not the ~1.3 GB/s marginal rate); "
+                            "*_e2e_tunnel fields ride the ~10-25MB/s "
+                            "bring-up tunnel",
                     "platform": platform,
                 },
             }
