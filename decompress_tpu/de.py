@@ -633,14 +633,14 @@ def _get_pack_jit():
         v23 = v2 | (v3 << n2.astype(jnp.uint32))
         n23 = n2 + n3
 
-        vals = jnp.stack([v01, v23], axis=2)
-        nbs = jnp.stack([n01, n23], axis=2)
-        bsz = vals.shape[0]
-        vals = vals.reshape(bsz, -1)
-        nbs = nbs.reshape(bsz, -1)
-        all_vals = jnp.concatenate([hdr_vals, vals, eob_vals], axis=1)
-        all_nbs = jnp.concatenate([hdr_bits, nbs, eob_bits], axis=1)
-        packed = bitpack_ops.pack_bits_device(all_vals, all_nbs, out_words)
+        # plane-separated pack: the two slot planes never interleave
+        # (the [B,T,2]->[B,2T] merge is a strided relayout XLA pays
+        # for), and the split-point writer below reuses the returned
+        # per-position offsets instead of recomputing the cumsum
+        words, totals, boff, posbits = bitpack_ops.pack_slot_planes(
+            v01, n01, v23, n23, hdr_vals.astype(jnp.uint32), hdr_bits,
+            eob_vals.astype(jnp.uint32), eob_bits, out_words)
+        packed = (words, totals)
         if n_splits <= 1:
             return packed
         # split points for the member-chunk-parallel decoder: for each
@@ -648,14 +648,11 @@ def _get_pack_jit():
         # at or after j*(seg/n_splits) output bytes — its bit offset in
         # the packed body, its command index, and its output offset.
         # bit 0 marks "no split" (real offsets are >= 3 header bits).
-        segl = on_path.shape[1]
         on_i = on_path.astype(jnp.int32)
         adv = jnp.where(on_path, jnp.where(is_match, length, 1), 0)
         opos = jnp.cumsum(adv, axis=1) - adv
         cmdi = jnp.cumsum(on_i, axis=1) - on_i
-        posbits = n01 + n23
-        bit0 = jnp.sum(hdr_bits, axis=1, keepdims=True)
-        boff = bit0 + jnp.cumsum(posbits, axis=1) - posbits
+        # boff/posbits come straight from the pack (same cumsum)
         # fixed-STRIDE command splits (not output-byte quantiles): the
         # lockstep decoder's step count is the MAX command count over
         # rows, so bounding every row at `split_stride` commands keeps

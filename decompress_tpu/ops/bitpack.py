@@ -35,6 +35,89 @@ import jax
 import jax.numpy as jnp
 
 
+def _mask_vals(v, nb):
+    return v.astype(jnp.uint32) & (
+        (jnp.uint32(1) << nb.astype(jnp.uint32)) - jnp.uint32(1))
+
+
+def _invert_offsets(widx: jnp.ndarray, out_words: int) -> jnp.ndarray:
+    """F[w] = first element index whose (monotone) word index reaches w,
+    for w in [0, out_words]; elements past the last word clamp into
+    F[out_words].  One scatter-min + reverse cummin."""
+    n = widx.shape[0]
+    f0 = jnp.full(out_words + 1, n, jnp.int32).at[
+        jnp.minimum(widx, out_words)
+    ].min(jnp.arange(n, dtype=jnp.int32))
+    return jax.lax.cummin(f0, reverse=True)
+
+
+def _plane_words(masked, offsets, out_words: int):
+    """Word image of one monotone plane: pre-masked values at absolute
+    bit offsets, assembled by prefix-sum differences (bit-disjoint
+    within each word, so the mod-2^32 sums are exact per word)."""
+    r = (offsets & 31).astype(jnp.uint32)
+    lo = masked << r
+    # (masked >> (32-r)) with the r==0 case masked out (shift-by-32 UB)
+    hi = jnp.where(r == jnp.uint32(0), jnp.uint32(0),
+                   masked >> ((jnp.uint32(32) - r) & jnp.uint32(31)))
+    f = _invert_offsets(offsets >> 5, out_words)
+    el = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
+    eh = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
+    out_lo = el[f[1:]] - el[f[:-1]]
+    dh = eh[f[1:]] - eh[f[:-1]]
+    # hi parts land one word later: word w collects hi of widx == w-1
+    return out_lo + jnp.concatenate([jnp.zeros(1, jnp.uint32), dh[:-1]])
+
+
+def _scatter_tiny(masked, offsets, out_words: int):
+    """Direct two-word scatter-OR for a TINY plane (headers/EOB):
+    cheaper than the prefix machinery when the element count is O(10)."""
+    widx = offsets >> 5
+    r = (offsets & 31).astype(jnp.uint32)
+    lo = masked << r
+    hi = jnp.where(r == jnp.uint32(0), jnp.uint32(0),
+                   masked >> ((jnp.uint32(32) - r) & jnp.uint32(31)))
+    w = jnp.zeros(out_words, jnp.uint32)
+    return w.at[widx].add(lo, mode="drop").at[widx + 1].add(hi, mode="drop")
+
+
+@functools.partial(jax.jit, static_argnames=("out_words",))
+def pack_slot_planes(v0, n0, v1, n1, hdr_vals, hdr_bits, eob_vals, eob_bits,
+                     out_words: int):
+    """Pack per-position slot PAIRS — slot 0 then slot 1 at every
+    position — after the header bits, with the EOB code appended, while
+    keeping the two slot planes separate end to end (no interleave
+    relayout: the [B, T, 2] -> [B, 2T] reshape the merged form needs is
+    a strided relayout XLA pays real time for).
+
+    v0/n0/v1/n1: uint32/int32[B, T]; hdr_vals/hdr_bits [B, H];
+    eob_vals/eob_bits [B, 1].  Returns (words uint32[B, out_words],
+    total_bits int32[B], off0 int32[B, T], posbits int32[B, T]) — off0
+    and posbits are the per-position first-slot bit offset and total
+    bit count, which the split-point writer reuses.
+    """
+
+    def one(v0_, n0_, v1_, n1_, hv, hb, ev, eb):
+        hdr_off = jnp.cumsum(hb) - hb
+        hdr_total = hdr_off[-1] + hb[-1]
+        posbits = n0_ + n1_
+        base = hdr_total + jnp.cumsum(posbits) - posbits
+        off0 = base
+        off1 = base + n0_
+        eob_off = base[-1] + posbits[-1]
+        total = eob_off + eb[0]
+        words = _plane_words(_mask_vals(v0_, n0_), off0, out_words)
+        words = words + _plane_words(_mask_vals(v1_, n1_), off1, out_words)
+        tv = jnp.concatenate([hv, ev])
+        tn = jnp.concatenate([hb, eb])
+        toff = jnp.concatenate([hdr_off, eob_off[None]])
+        words = words + _scatter_tiny(_mask_vals(tv, tn), toff, out_words)
+        return words, total, off0, posbits
+
+    return jax.vmap(one)(v0, n0, v1, n1, hdr_vals, hdr_bits,
+                         eob_vals, eob_bits)
+
+
 @functools.partial(jax.jit, static_argnames=("out_words",))
 def pack_bits_device(values: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     """Pack ``values`` (low ``nbits`` each, 0..31) LSB-first.
@@ -49,34 +132,9 @@ def pack_bits_device(values: jnp.ndarray, nbits: jnp.ndarray, out_words: int):
     """
 
     def one(v, nb):
-        n = v.shape[0]
         offsets = jnp.cumsum(nb) - nb
         total = offsets[-1] + nb[-1]
-        nb_u = nb.astype(jnp.uint32)
-        masked = v & ((jnp.uint32(1) << nb_u) - jnp.uint32(1))
-        widx = offsets >> 5
-        r = (offsets & 31).astype(jnp.uint32)
-        lo = masked << r
-        # (masked >> (32-r)) with the r==0 case masked out (shift-by-32 UB)
-        hi = jnp.where(r == jnp.uint32(0), jnp.uint32(0), masked >> ((jnp.uint32(32) - r) & jnp.uint32(31)))
-        # F[w] = first element whose word index reaches w (monotone widx
-        # -> scatter-min of element ranks + reverse cummin fills empty
-        # words); elements past the last word clamp into F[out_words].
-        f0 = jnp.full(out_words + 1, n, jnp.int32).at[
-            jnp.minimum(widx, out_words)
-        ].min(jnp.arange(n, dtype=jnp.int32))
-        f = jax.lax.cummin(f0, reverse=True)
-        # prefix sums of the two contribution streams (exclusive, with
-        # the grand total appended); uint32 wraparound cancels in the
-        # differences because true within-word sums are bit-disjoint
-        el = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
-        eh = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
-        out_lo = el[f[1:]] - el[f[:-1]]
-        # hi parts land one word later: word w collects hi of elements
-        # whose widx == w-1
-        dh = eh[f[1:]] - eh[f[:-1]]
-        out_hi = jnp.concatenate([jnp.zeros(1, jnp.uint32), dh[:-1]])
-        return out_lo + out_hi, total
+        return _plane_words(_mask_vals(v, nb), offsets, out_words), total
 
     fn = one
     for _ in range(values.ndim - 1):
