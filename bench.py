@@ -27,25 +27,92 @@ def _median(xs):
     return xs[len(xs) // 2]
 
 
+class _LibDeflate:
+    """ctypes binding to the system libdeflate — the SECOND independent
+    external comparator (the reference bench prints two C-zlib consumers
+    side by side, bench/b.ml:47–64; Python ``zlib`` wraps the same C
+    zlib as camlzip/bytesrw, while libdeflate is an independent
+    implementation, so this is a strictly more diverse pairing)."""
+
+    def __init__(self):
+        import ctypes
+        import ctypes.util
+
+        path = ctypes.util.find_library("deflate") or "libdeflate.so"
+        lib = ctypes.CDLL(path)  # raises OSError if absent
+        lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+        lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+        lib.libdeflate_zlib_compress.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.libdeflate_zlib_compress_bound.restype = ctypes.c_size_t
+        lib.libdeflate_zlib_compress_bound.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t]
+        lib.libdeflate_alloc_decompressor.restype = ctypes.c_void_p
+        lib.libdeflate_alloc_decompressor.argtypes = []
+        lib.libdeflate_zlib_decompress.restype = ctypes.c_int
+        lib.libdeflate_zlib_decompress.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_size_t)]
+        self._ct = ctypes
+        self._lib = lib
+        self._comps = {}
+        self._dec = lib.libdeflate_alloc_decompressor()
+
+    def compress(self, data: bytes, level: int) -> bytes:
+        ct, lib = self._ct, self._lib
+        c = self._comps.get(level)
+        if c is None:
+            c = self._comps[level] = lib.libdeflate_alloc_compressor(level)
+        cap = lib.libdeflate_zlib_compress_bound(c, len(data))
+        out = ct.create_string_buffer(cap)
+        n = lib.libdeflate_zlib_compress(c, data, len(data), out, cap)
+        assert n > 0, "libdeflate compress failed"
+        return out.raw[:n]
+
+    def decompress(self, blob: bytes, out_size: int) -> bytes:
+        ct, lib = self._ct, self._lib
+        out = ct.create_string_buffer(out_size)
+        actual = ct.c_size_t(0)
+        rc = lib.libdeflate_zlib_decompress(
+            self._dec, blob, len(blob), out, out_size, ct.byref(actual))
+        assert rc == 0, f"libdeflate decompress rc={rc}"
+        return out.raw[: actual.value]
+
+
 def table_mode(levels=(6,), reps: int = 3) -> int:
     """Reference-style per-file table (bench/b.ml:98–157): compress and
-    decompress MB/s plus ratio, per corpus file per level, with C zlib
-    timed side-by-side as the external comparator (the reference prints
-    camlzip/bytesrw columns the same way, b.ml:47–64)."""
+    decompress MB/s plus ratio, per corpus file per level, with TWO
+    external comparators timed side-by-side — C zlib and libdeflate
+    (the reference prints camlzip/bytesrw columns the same way,
+    b.ml:47–64)."""
     import zlib
 
     from decompress_tpu import zl
 
+    try:
+        ld = _LibDeflate()
+    except OSError:
+        ld = None
+        print("# libdeflate not found on this system: single-comparator "
+              "table", flush=True)
+
     corpus_dir = pathlib.Path(__file__).parent / "tests" / "corpus"
-    print(f"{'file':<14} {'lvl':>3} {'in':>8} {'out':>8} {'ratio':>6} "
-          f"{'comp MB/s':>10} {'decomp MB/s':>12} {'zlibc MB/s':>11} "
-          f"{'zlibd MB/s':>11} {'sz/zlib':>8} {'d/zlib':>7}", flush=True)
-    tot_in = tot_ours = tot_zlib = 0
+    hdr = (f"{'file':<14} {'lvl':>3} {'in':>8} {'out':>8} {'ratio':>6} "
+           f"{'comp MB/s':>10} {'decomp MB/s':>12} {'zlibc MB/s':>11} "
+           f"{'zlibd MB/s':>11} {'sz/zlib':>8} {'d/zlib':>7}")
+    if ld is not None:
+        hdr += f" {'ldc MB/s':>9} {'ldd MB/s':>9} {'sz/ld':>7}"
+    print(hdr, flush=True)
+    tot_in = tot_ours = tot_zlib = tot_ld = 0
     d_ratios = []
     for p in sorted(corpus_dir.iterdir()):
         data = p.read_bytes()
         for level in levels:
-            cts, dts, zcs, zds = [], [], [], []
+            cts, dts, zcs, zds, lcs, lds = [], [], [], [], [], []
+            lcomp = None
             for _ in range(reps):  # everything medians (b.ml:11-20)
                 t0 = time.time()
                 comp = zl.deflate(data, level)
@@ -59,6 +126,13 @@ def table_mode(levels=(6,), reps: int = 3) -> int:
                 t0 = time.time()
                 zout = zlib.decompress(zcomp)
                 zds.append(time.time() - t0)
+                if ld is not None:
+                    t0 = time.time()
+                    lcomp = ld.compress(data, level)
+                    lcs.append(time.time() - t0)
+                    t0 = time.time()
+                    lout = ld.decompress(lcomp, len(data))
+                    lds.append(time.time() - t0)
             assert zlib.decompress(comp) == data
             ct, dt, zct, zdt = (_median(x) for x in (cts, dts, zcs, zds))
             assert out == data and zout == data
@@ -66,17 +140,31 @@ def table_mode(levels=(6,), reps: int = 3) -> int:
             tot_ours += len(comp)
             tot_zlib += len(zcomp)
             d_ratios.append(zdt / dt)
-            print(f"{p.name:<14} {level:>3} {len(data):>8} {len(comp):>8} "
-                  f"{len(comp)/len(data):>6.3f} {len(data)/ct/1e6:>10.2f} "
-                  f"{len(data)/dt/1e6:>12.2f} {len(data)/zct/1e6:>11.2f} "
-                  f"{len(data)/zdt/1e6:>11.2f} "
-                  f"{len(comp)/len(zcomp):>8.4f} {zdt/dt:>7.2f}", flush=True)
+            row = (f"{p.name:<14} {level:>3} {len(data):>8} {len(comp):>8} "
+                   f"{len(comp)/len(data):>6.3f} {len(data)/ct/1e6:>10.2f} "
+                   f"{len(data)/dt/1e6:>12.2f} {len(data)/zct/1e6:>11.2f} "
+                   f"{len(data)/zdt/1e6:>11.2f} "
+                   f"{len(comp)/len(zcomp):>8.4f} {zdt/dt:>7.2f}")
+            if ld is not None:
+                # cross-consumer verification both ways: our stream must
+                # decode under libdeflate, and libdeflate's under us
+                assert ld.decompress(comp, len(data)) == data
+                assert lout == data and zl.inflate(lcomp) == data
+                lct, ldt = _median(lcs), _median(lds)
+                tot_ld += len(lcomp)
+                row += (f" {len(data)/lct/1e6:>9.2f}"
+                        f" {len(data)/ldt/1e6:>9.2f}"
+                        f" {len(comp)/len(lcomp):>7.4f}")
+            print(row, flush=True)
     gm = 1.0
     for r in d_ratios:
         gm *= r
     gm **= 1.0 / max(1, len(d_ratios))
-    print(f"# aggregate: size ours/zlib {tot_ours/tot_zlib:.4f}  "
-          f"inflate speed ours/zlib geomean {gm:.2f}x", flush=True)
+    agg = (f"# aggregate: size ours/zlib {tot_ours/tot_zlib:.4f}  "
+           f"inflate speed ours/zlib geomean {gm:.2f}x")
+    if ld is not None and tot_ld:
+        agg += f"  size ours/libdeflate {tot_ours/tot_ld:.4f}"
+    print(agg, flush=True)
     return 0
 
 

@@ -598,19 +598,17 @@ def _get_pack_jit():
     from .ops import bitpack as bitpack_ops
     from .ops import codes as codes_ops
 
+    from .ops import cost_pl as cost_pl_ops
+    from .ops import pack_pl as pack_pl_ops
+
     @functools.partial(jax.jit,
                        static_argnames=("out_words", "n_splits",
-                                        "split_stride", "split_bits"))
+                                        "split_stride", "split_bits",
+                                        "slot_sel"))
     def pack(on_path, is_match, length, dist, sym_lit, hdr_vals, hdr_bits,
              lit_codes, lit_bits, dist_codes, dist_bits, eob_vals, eob_bits,
-             out_words, n_splits=0, split_stride=2048, split_bits=0):
-        # code indices, extra-bit counts and extra-bit values are all
-        # elementwise arithmetic (ops/codes.py): the only gathers left
-        # are the per-segment canonical-code tables themselves
-        lcode, lex, lval = codes_ops.length_code_parts(length)
-        sym = jnp.where(is_match, 257 + lcode, sym_lit.astype(jnp.int32))
-        dsym, dex, dval = codes_ops.dist_code_parts(dist)
-
+             out_words, n_splits=0, split_stride=2048, split_bits=0,
+             slot_sel="xla"):
         # merged slots: (lit/len code | length extra) <= 15+5 bits and
         # (dist code | dist extra) <= 15+13 bits — two writes per command.
         # The per-segment canonical tables are packed (code<<4 | len)
@@ -618,20 +616,37 @@ def _get_pack_jit():
         # each slot costs ONE gathered element, not two.
         lit_cb = (lit_codes.astype(jnp.int32) << 4) | lit_bits
         dist_cb = (dist_codes.astype(jnp.int32) << 4) | dist_bits
-        cb0 = jnp.take_along_axis(lit_cb, sym, axis=1)
-        v0 = (cb0 >> 4).astype(jnp.uint32)
-        n0 = jnp.where(on_path, cb0 & 15, 0)
-        v1 = lval.astype(jnp.uint32)
-        n1 = jnp.where(is_match, lex, 0)
-        v01 = v0 | (v1 << n0.astype(jnp.uint32))
-        n01 = n0 + n1
-        cb2 = jnp.take_along_axis(dist_cb, dsym, axis=1)
-        v2 = (cb2 >> 4).astype(jnp.uint32)
-        n2 = jnp.where(is_match, cb2 & 15, 0)
-        v3 = dval.astype(jnp.uint32)
-        n3 = jnp.where(is_match, dex, 0)
-        v23 = v2 | (v3 << n2.astype(jnp.uint32))
-        n23 = n2 + n3
+        if (slot_sel in ("pl", "pl-interpret")
+                and cost_pl_ops.supported(length.shape[1])):
+            # Pallas slot builder: the two per-segment table gathers
+            # become in-kernel select-trees; the code arithmetic rides
+            # along (ops/pack_pl.py) — bit-identical to the XLA form
+            v01, n01, v23, n23 = pack_pl_ops.build_slots_pl(
+                on_path, is_match, length, dist, sym_lit, lit_cb, dist_cb,
+                interpret=slot_sel == "pl-interpret")
+            v01 = v01.astype(jnp.uint32)
+            v23 = v23.astype(jnp.uint32)
+        else:
+            # code indices, extra-bit counts and extra-bit values are
+            # all elementwise arithmetic (ops/codes.py): the only
+            # gathers left are the per-segment tables themselves
+            lcode, lex, lval = codes_ops.length_code_parts(length)
+            sym = jnp.where(is_match, 257 + lcode, sym_lit.astype(jnp.int32))
+            dsym, dex, dval = codes_ops.dist_code_parts(dist)
+            cb0 = jnp.take_along_axis(lit_cb, sym, axis=1)
+            v0 = (cb0 >> 4).astype(jnp.uint32)
+            n0 = jnp.where(on_path, cb0 & 15, 0)
+            v1 = lval.astype(jnp.uint32)
+            n1 = jnp.where(is_match, lex, 0)
+            v01 = v0 | (v1 << n0.astype(jnp.uint32))
+            n01 = n0 + n1
+            cb2 = jnp.take_along_axis(dist_cb, dsym, axis=1)
+            v2 = (cb2 >> 4).astype(jnp.uint32)
+            n2 = jnp.where(is_match, cb2 & 15, 0)
+            v3 = dval.astype(jnp.uint32)
+            n3 = jnp.where(is_match, dex, 0)
+            v23 = v2 | (v3 << n2.astype(jnp.uint32))
+            n23 = n2 + n3
 
         # plane-separated pack: the two slot planes never interleave
         # (the [B,T,2]->[B,2T] merge is a strided relayout XLA pays
@@ -727,12 +742,15 @@ def _pack_segments(res, sym_lit, hdr_vals, hdr_bits, lit_codes, lit_bits,
                    dist_codes, dist_bits, eob_vals, eob_bits, out_words,
                    n_splits: int = 0, split_stride: int = 2048,
                    split_bits: int = 0):
+    from .ops import pack_pl as pack_pl_ops
+
     pack = _get_pack_jit()
     return pack(
         res["on_path"], res["is_match"], res["length"], res["dist"], sym_lit,
         hdr_vals, hdr_bits, lit_codes, lit_bits, dist_codes, dist_bits,
         eob_vals, eob_bits, out_words=out_words, n_splits=n_splits,
         split_stride=split_stride, split_bits=split_bits,
+        slot_sel=pack_pl_ops.slot_sel_for(res["on_path"]),
     )
 
 

@@ -1,0 +1,263 @@
+"""Pallas round-B cost kernels: the exact-bit-cost re-parse in-kernel.
+
+Round B of the two-round analysis (ops/lz77.py `lz77_parse_cost`, the
+TPU replacement for the reference encoder's cost-model block decisions,
+de.ml:3620-3692, applied to the parse itself) re-evaluates every
+candidate with exact bit costs.  Its XLA form pays four full-domain
+gather passes per position — lcost[lit], pref[pos+len], and the two
+match-cost table lookups — at the ~7 ns/element XLA gather wall
+(PERF.md).  All four are *small-table or row-local* lookups, exactly
+the shape `tpu.dynamic_gather` resolves at 0.09-0.35 ns inside a
+Mosaic kernel (the round-4 escape; ops/inflate_pl.py is the original):
+
+* the cost tables are 286/30 entries per SEGMENT — a 3-block (or
+  1-block) lane-gather select-tree with the segment's table staged per
+  grid row;
+* ``pref[pos + len]`` reaches at most 385 positions past the row start
+  (len <= 258), so a 512-wide per-row slab of the literal-cost prefix
+  sum turns it into a 4-block select-tree — the mark-path kernel's
+  "clip spans to rows" trick (ops/parse_pl.py);
+* the length/dist code arithmetic is elementwise (ops/codes.py), with
+  floor-log2 computed by a compare-chain instead of the float exponent
+  trick (integer-only kernel).
+
+Everything is int32: code lengths are integers (the float32 cost tables
+of the XLA path hold exact small ints), so gains and comparisons are
+bit-identical to the float form.
+
+Two kernels because the literal-cost prefix sum needs a global cumsum
+between them:
+
+  K1 `litbits_pl`:  lit -> lcost[lit]           (one lookup per byte)
+  XLA:              pref = cumsum(litbits); 512-wide row slabs
+  K2 `gain_pl`:     candidate (+ optional hot-stride lane) gains,
+                    merged winner, per-position gain for lazy deferral
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+LANES = 128
+R_BLOCK = 8
+#: lit/len cost table padded width (286 -> 3 lane blocks)
+LC_PAD = 384
+#: dist cost table padded width (30 -> 1 lane block)
+DC_PAD = 128
+#: pref slab width: lane + len <= 127 + 258 + 1 < 512
+SLAB_W = 512
+#: "no match" gain sentinel (the XLA path's -1e9, int-domain)
+NEG_GAIN = -(1 << 29)
+MIN_MATCH = 3
+
+
+def _seltree(tab, idx, nblocks, rb):
+    """out[r, j] = tab[0, idx[r, j]] for a (1, nblocks*128) table row,
+    synthesized from native per-row lane gathers + a where chain."""
+    lo = idx & (LANES - 1)
+    hi = idx >> 7
+    v = None
+    for k in range(nblocks):
+        blk = jnp.broadcast_to(tab[:, LANES * k:LANES * (k + 1)],
+                               (rb, LANES))
+        g = jnp.take_along_axis(blk, lo, axis=1)
+        v = g if v is None else jnp.where(hi == k, g, v)
+    return v
+
+
+def _slab_lookup(slab, idx, rb):
+    """out[r, j] = slab[r, idx[r, j]] over a (rb, SLAB_W) row slab."""
+    lo = idx & (LANES - 1)
+    hi = idx >> 7
+    v = None
+    for k in range(SLAB_W // LANES):
+        g = jnp.take_along_axis(slab[:, LANES * k:LANES * (k + 1)],
+                                lo, axis=1)
+        v = g if v is None else jnp.where(hi == k, g, v)
+    return v
+
+
+def _ilog2(x):
+    """floor(log2(x)) for int32 x in [1, 2^15] by compare-chain
+    (integer-only analogue of codes._floor_log2's float-exponent trick)."""
+    e = jnp.zeros_like(x)
+    for k in range(1, 16):
+        e = e + (x >= (1 << k)).astype(jnp.int32)
+    return e
+
+
+def _len_cost_parts(length):
+    """(257+code, extra_bits) for match lengths — codes.length_code_parts
+    in integer ops (extra VALUE not needed for costs)."""
+    l = jnp.clip(length - MIN_MATCH, 0, 255)
+    small = l < 8
+    top = l >= 255
+    e = jnp.maximum(_ilog2(jnp.maximum(l, 1)) - 2, 0)
+    e = jnp.where(small | top, 0, e)
+    code = jnp.where(small, l, jnp.where(top, 28, 4 + 4 * e + ((l >> e) & 3)))
+    return 257 + code, e
+
+
+def _dist_cost_parts(dist):
+    """(code, extra_bits) for distances — codes.dist_code_parts."""
+    m = jnp.clip(dist - 1, 0, (1 << 15) - 1)
+    small = m < 4
+    e = jnp.where(small, 0,
+                  jnp.maximum(_ilog2(jnp.maximum(m, 1)) - 1, 0))
+    code = jnp.where(small, m, 2 + 2 * e + ((m >> e) & 1))
+    return code, e
+
+
+def _litbits_kernel(rb):
+    def kernel(lit_ref, lc_ref, out_ref):
+        out_ref[...] = _seltree(lc_ref[...], lit_ref[...],
+                                LC_PAD // LANES, rb)
+
+    return kernel
+
+
+def _gain_kernel(rb, with_hot: bool):
+    def kernel(*refs):
+        if with_hot:
+            (len_ref, dist_ref, hlen_ref, hdist_ref, slab_ref, lc_ref,
+             dc_ref, olen_ref, odist_ref, ogain_ref) = refs
+        else:
+            (len_ref, dist_ref, slab_ref, lc_ref, dc_ref,
+             olen_ref, odist_ref, ogain_ref) = refs
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rb, LANES), 1)
+        slab = slab_ref[...]
+        lc = lc_ref[...]
+        dc = dc_ref[...]
+        p0 = slab[:, :LANES]  # pref at own position
+
+        def gain_of(ln, dst):
+            lsym, lex = _len_cost_parts(ln)
+            dsym, dex = _dist_cost_parts(dst)
+            cost = (_seltree(lc, jnp.clip(lsym, 0, 285), LC_PAD // LANES, rb)
+                    + lex
+                    + _seltree(dc, jnp.clip(dsym, 0, 29), DC_PAD // LANES, rb)
+                    + dex)
+            span = _slab_lookup(slab, lane + ln, rb) - p0
+            return jnp.where(ln >= MIN_MATCH, span - cost,
+                             jnp.int32(NEG_GAIN))
+
+        ln0 = len_ref[...]
+        d0 = dist_ref[...]
+        g0 = gain_of(ln0, d0)
+        if with_hot:
+            lnh = hlen_ref[...]
+            dh = hdist_ref[...]
+            gh = gain_of(lnh, dh)
+            better = gh > g0
+            ln0 = jnp.where(better, lnh, ln0)
+            d0 = jnp.where(better, dh, d0)
+            g0 = jnp.where(better, gh, g0)
+        olen_ref[...] = ln0
+        odist_ref[...] = d0
+        ogain_ref[...] = g0
+
+    return kernel
+
+
+def _grids(b, seg_len):
+    assert seg_len % LANES == 0
+    rows_per_seg = seg_len // LANES
+    rb = min(R_BLOCK, rows_per_seg)
+    assert rows_per_seg % rb == 0
+    rows = b * rows_per_seg
+    bps = rows_per_seg // rb  # row-blocks per segment
+    return rows, rb, bps
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def litbits_pl(lit: jnp.ndarray, lcost: jnp.ndarray,
+               interpret: bool = False) -> jnp.ndarray:
+    """litbits[b, i] = lcost[b, lit[b, i]] — K1.
+
+    lit int32[B, T] (byte values), lcost int32[B, 286]."""
+    b, t = lit.shape
+    rows, rb, bps = _grids(b, t)
+    lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
+        lcost.astype(jnp.int32))
+    out = pl.pallas_call(
+        _litbits_kernel(rb),
+        grid=(rows // rb,),
+        in_specs=[
+            pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
+            pl.BlockSpec((1, LC_PAD), lambda g, _bps=bps: (g // _bps, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(lit.reshape(rows, LANES), lc_pad)
+    return out.reshape(b, t)
+
+
+@jax.jit
+def _pref_slab(litbits: jnp.ndarray) -> jnp.ndarray:
+    """Per-row 512-wide slabs of the EXCLUSIVE literal-bit prefix sum:
+    slab[b*rps + r, j] = pref[b, min(r*128 + j, T)] where
+    pref[b, i] = sum(litbits[b, :i])."""
+    b, t = litbits.shape
+    pe = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(litbits, axis=1)], axis=1)
+    pad = jnp.broadcast_to(pe[:, -1:], (b, SLAB_W - 1))
+    pe_ext = jnp.concatenate([pe, pad], axis=1)  # [B, T + 512]
+    rows = t // LANES
+    parts = [
+        pe_ext[:, k * LANES:k * LANES + t].reshape(b, rows, LANES)
+        for k in range(SLAB_W // LANES)
+    ]
+    return jnp.concatenate(parts, axis=2).reshape(b * rows, SLAB_W)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
+            interpret: bool = False):
+    """K2: merged (length, dist, gain) per position.
+
+    length/dist int32[B, T] round-A candidates (pre-masked by the
+    caller: validity, window clamp); hot_len/hot_d the hot-stride lane
+    (or None); slab from :func:`_pref_slab`; lcost int32[B, 286],
+    dcost int32[B, 30]."""
+    b, t = length.shape
+    rows, rb, bps = _grids(b, t)
+    with_hot = hot_len is not None
+    lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
+        lcost.astype(jnp.int32))
+    dc_pad = jnp.zeros((b, DC_PAD), jnp.int32).at[:, :dcost.shape[1]].set(
+        dcost.astype(jnp.int32))
+
+    tile = pl.BlockSpec((rb, LANES), lambda g: (g, 0))
+    ins = [length.reshape(rows, LANES), dist.reshape(rows, LANES)]
+    specs = [tile, tile]
+    if with_hot:
+        ins += [hot_len.reshape(rows, LANES), hot_d.reshape(rows, LANES)]
+        specs += [tile, tile]
+    ins += [slab, lc_pad, dc_pad]
+    specs += [
+        pl.BlockSpec((rb, SLAB_W), lambda g: (g, 0)),
+        pl.BlockSpec((1, LC_PAD), lambda g, _bps=bps: (g // _bps, 0)),
+        pl.BlockSpec((1, DC_PAD), lambda g, _bps=bps: (g // _bps, 0)),
+    ]
+    olen, odist, ogain = pl.pallas_call(
+        _gain_kernel(rb, with_hot),
+        grid=(rows // rb,),
+        in_specs=specs,
+        out_specs=[tile, tile, tile],
+        out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 3,
+        interpret=interpret,
+    )(*ins)
+    return (olen.reshape(b, t), odist.reshape(b, t), ogain.reshape(b, t))
+
+
+def supported(seg_len: int) -> bool:
+    """The kernels need 128-lane rows and whole row-blocks."""
+    if seg_len % LANES:
+        return False
+    rps = seg_len // LANES
+    return rps % min(R_BLOCK, rps) == 0

@@ -139,6 +139,26 @@ def mark_sel_for(arr) -> str:
     return "pl" if plat in ("tpu", "axon") else "xla"
 
 
+def cost_sel_for(arr) -> str:
+    """Resolve the round-B cost kernel for ``arr``'s device: the Pallas
+    gain/litbits kernels (ops/cost_pl.py) on TPU, the XLA gathers
+    elsewhere — same per-array-device discipline as
+    :func:`mark_sel_for`.  Override with
+    DECOMPRESS_TPU_COST_KERNEL={auto,pl,xla,pl-interpret}."""
+    import os
+
+    v = os.environ.get("DECOMPRESS_TPU_COST_KERNEL", "auto")
+    if v in ("pl", "xla", "pl-interpret"):
+        return v
+    if v in ("0", "off"):
+        return "xla"
+    try:
+        plat = next(iter(arr.devices())).platform
+    except Exception:
+        return "xla"
+    return "pl" if plat in ("tpu", "axon") else "xla"
+
+
 def _ceil_pow2(n: int) -> int:
     p = 1
     while p < n:
@@ -259,39 +279,57 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
 
     # ---- sorted-bucket candidates (depth-K hash chain equivalent) ----
     pos = jnp.arange(t, dtype=jnp.int32)
-    sh, sp = jax.lax.sort((h, pos), num_keys=2)
-    # rank-space probe arrays: one gather each.  Offset fingerprints
-    # (span S at byte offset O probes bytes [O, O+S)) refine the grade
-    # ladder between the power-of-two spans.
-    w_s = w[sp]
-    w4_s = jnp.roll(w, -4)[sp]
-    f16_s = fp[16][sp]
+    if t <= 1 << 17 and HASH_BITS + 17 <= 32:
+        # hash and position pack into ONE uint32 key (h:15 | pos:17) —
+        # a single-operand sort is measurably cheaper than the 2-key
+        # form, and order is identical (equal hash -> ascending pos)
+        packed_key = (h.astype(jnp.uint32) << 17) | pos.astype(jnp.uint32)
+        skey = jax.lax.sort(packed_key)
+        sp = (skey & ((1 << 17) - 1)).astype(jnp.int32)
+        sh = (skey >> 17).astype(jnp.int32)
+    else:
+        sh, sp = jax.lax.sort((h, pos), num_keys=2)
+    # rank-space probe values: offset fingerprints (span S at byte
+    # offset O probes bytes [O, O+S)) refine the grade ladder between
+    # the power-of-two spans.  All probe fields are fetched by ONE
+    # row gather of a [T, R] record — a [T,9] record row costs ~6 ns
+    # on this chip where 9 separate element gathers cost ~64 ns
+    # (scripts/microbench_rowgather.py, measured round 5).
     if cfg.full_ladder:
         # ladder probes are pure equality tests, so pack PAIRS as
-        # 16-bit hashes in one uint32: half the sorted-order gathers
-        # (the dominant candidate-stage cost) for a 1.5e-5 collision
-        # rate that the exact verification pass already covers
+        # 16-bit hashes in one uint32: halves the record width for a
+        # 1.5e-5 collision rate that the exact verification pass
+        # already covers
         def h16(x):
             return (x * jnp.uint32(2654435761)) >> jnp.uint32(16)
 
         def pack2(a, b):
             return (h16(a) << 16) | h16(b)
 
-        p1 = pack2(jnp.roll(w, -6), jnp.roll(fp[8], -4))[sp]
-        p2 = pack2(jnp.roll(w, -10), jnp.roll(w, -16))[sp]
-        p3 = pack2(jnp.roll(fp[16], -8), fp[32])[sp]
-        p4 = pack2(jnp.roll(fp[16], -32), fp[64])[sp]
-        p5 = pack2(jnp.roll(fp[32], -64), fp[128])[sp]
-        # hi half: bytes [192, 224) — the 224 rung caps the ladder's
-        # top inter-rung gap at 34, so the descent needs no 64-span
-        # (two full-domain gathers saved); lo half: bytes [128, 192)
-        p6 = pack2(jnp.roll(fp[32], -192), jnp.roll(fp[64], -128))[sp]
-        extra_probes = (p1, p2, p3, p4, p5, p6)
+        # hi half of p6: bytes [192, 224) — the 224 rung caps the
+        # ladder's top inter-rung gap at 34, so the descent needs no
+        # 64-span; lo half: bytes [128, 192)
+        fields = (
+            w, jnp.roll(w, -4), fp[16],
+            pack2(jnp.roll(w, -6), jnp.roll(fp[8], -4)),
+            pack2(jnp.roll(w, -10), jnp.roll(w, -16)),
+            pack2(jnp.roll(fp[16], -8), fp[32]),
+            pack2(jnp.roll(fp[16], -32), fp[64]),
+            pack2(jnp.roll(fp[32], -64), fp[128]),
+            pack2(jnp.roll(fp[32], -192), jnp.roll(fp[64], -128)),
+        )
     else:
         # short ladder (fast levels): exact words + one 16 and one
         # 64-byte fingerprint
-        f64_s = fp[64][sp]
-        extra_probes = (f64_s,)
+        fields = (w, jnp.roll(w, -4), fp[16], fp[64])
+    rec_s = jnp.stack(fields, axis=1)[sp]      # [t, R]: ONE row gather
+    cols = tuple(rec_s[:, i] for i in range(len(fields)))
+    w_s, w4_s, f16_s = cols[:3]
+    extra_probes = cols[3:]
+    if cfg.full_ladder:
+        p1, p2, p3, p4, p5, p6 = extra_probes
+    else:
+        (f64_s,) = extra_probes
 
     sp_ok = sp < valid_hi
     neg_inf = jnp.int32(-(1 << 30))
@@ -607,7 +645,13 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
         w3 = w & jnp.uint32(0xFFFFFF)
         h3 = ((w3 * jnp.uint32(2654435761)) >>
               jnp.uint32(32 - HASH_BITS)).astype(jnp.int32)
-        sh3, sp3 = jax.lax.sort((h3, pos), num_keys=2)
+        if t <= 1 << 17 and HASH_BITS + 17 <= 32:
+            k3p = (h3.astype(jnp.uint32) << 17) | pos.astype(jnp.uint32)
+            sk3 = jax.lax.sort(k3p)
+            sp3 = (sk3 & ((1 << 17) - 1)).astype(jnp.int32)
+            sh3 = (sk3 >> 17).astype(jnp.int32)
+        else:
+            sh3, sp3 = jax.lax.sort((h3, pos), num_keys=2)
         w3_s = w3[sp3]
         sp3_ok = sp3 < valid_hi
         k3 = 2
@@ -857,23 +901,13 @@ def lz77_reparse_greedy(data, cand_length, cand_dist, n_valid, *,
 
     take, length = jax.vmap(one_pre)(cand_length, n_valid)
     on_path_full = _mark_batched(take, length, seg_len, p, levels, mark_sel)
-
-    def one_post(seg, n, take_r, length_r, dist_r, opf):
-        out = _summarize_one(seg, opf, take_r, length_r, dist_r, n,
-                             seg_len, hist)
-        out["cand_length"] = length_r
-        out["cand_dist"] = dist_r
-        if two_round:
-            md = jnp.where(out["is_match"], out["dist"], 0)
-            out["dist_counts"] = (
-                jnp.zeros(HOT_DIST_BINS, jnp.int32)
-                .at[jnp.clip(md, 0, HOT_DIST_BINS - 1)]
-                .add(out["is_match"].astype(jnp.int32), mode="drop")
-            )
-        return out
-
-    return jax.vmap(one_post)(data, n_valid, take, length, cand_dist,
-                              on_path_full)
+    out = _summarize_batch(data, n_valid, take, length, cand_dist,
+                           on_path_full, seg_len, hist, mark_sel)
+    out["cand_length"] = length
+    out["cand_dist"] = cand_dist
+    if two_round:
+        out["dist_counts"] = _dist_counts_batch(out["is_match"], out["dist"])
+    return out
 
 
 #: trim-and-reparse attempts before the force_exact sledgehammer
@@ -970,27 +1004,32 @@ def lz77_analyze(data, n_valid, hist_len, *, level: int, seg_len: int,
     take, length, dist = jax.vmap(one_pre)(data, n_valid, hist_len)
     on_path_full = _mark_batched(take, length, seg_len, p, levels,
                                  mark_sel, _ablate)
+    out = _summarize_batch(data, n_valid, take, length, dist,
+                           on_path_full, seg_len, hist, mark_sel)
+    out["cand_length"] = length
+    out["cand_dist"] = dist
+    if cfg.two_round:
+        # exact-distance histogram of the selected matches: round B
+        # mines it for "hot" strided distances (structural periods
+        # like image row strides) that the depth-K bucket search
+        # cannot reach inside giant equal-content buckets
+        out["dist_counts"] = _dist_counts_batch(out["is_match"], out["dist"])
+    return out
 
-    def one_post(seg, n, take_r, length_r, dist_r, opf):
-        out = _summarize_one(seg, opf, take_r, length_r, dist_r, n,
-                             seg_len, hist)
-        out["cand_length"] = length_r
-        out["cand_dist"] = dist_r
-        if cfg.two_round:
-            # exact-distance histogram of the selected matches: round B
-            # mines it for "hot" strided distances (structural periods
-            # like image row strides) that the depth-K bucket search
-            # cannot reach inside giant equal-content buckets
-            md = jnp.where(out["is_match"], out["dist"], 0)
-            out["dist_counts"] = (
-                jnp.zeros(HOT_DIST_BINS, jnp.int32)
-                .at[jnp.clip(md, 0, HOT_DIST_BINS - 1)]
-                .add(out["is_match"].astype(jnp.int32), mode="drop")
-            )
-        return out
 
-    return jax.vmap(one_post)(data, n_valid, take, length, dist,
-                              on_path_full)
+def _dist_counts_batch(is_match, dist):
+    """Per-segment exact-distance histograms of the selected matches
+    (HOT_DIST_BINS bins, overflow clipped into the last one)."""
+
+    def one(im, dd):
+        md = jnp.where(im, dd, 0)
+        return (
+            jnp.zeros(HOT_DIST_BINS, jnp.int32)
+            .at[jnp.clip(md, 0, HOT_DIST_BINS - 1)]
+            .add(im.astype(jnp.int32), mode="drop")
+        )
+
+    return jax.vmap(one)(is_match, dist)
 
 
 def _mark_batched(take, plen, seg_len, p, levels, mark_sel="xla",
@@ -1025,6 +1064,15 @@ def _mark_batched(take, plen, seg_len, p, levels, mark_sel="xla",
 
         return parse_pl.mark_path_pl(g2, interpret=mark_sel == "pl-interpret")
     return jax.vmap(lambda g: _mark_path_hybrid(g, levels))(g2)
+
+
+def _hist_mode() -> str:
+    """Histogram kernel override: DECOMPRESS_TPU_HIST_KERNEL=
+    {auto,pl,xla,pl-interpret}; "auto" follows the mark-path selection
+    (trace-time, like the descent knob)."""
+    import os
+
+    return os.environ.get("DECOMPRESS_TPU_HIST_KERNEL", "auto")
 
 
 def _summarize_one(seg, on_path_full, take, plen, dist, n, seg_len, hist):
@@ -1062,12 +1110,91 @@ def _summarize_one(seg, on_path_full, take, plen, dist, n, seg_len, hist):
     )
 
 
+def _summarize_batch(data, n_valid, take, plen, dist, on_path_full,
+                     seg_len, hist, mark_sel):
+    """Batched `_summarize_one`: the verification stays a vmapped XLA
+    pass (its source-byte gather is arbitrary-distance), but on the
+    Pallas path the two histogram scatter passes become the in-kernel
+    masked-reduction histograms (ops/hist_pl.py)."""
+    hm = _hist_mode()
+    use_pl = hm in ("pl", "pl-interpret") or (
+        hm == "auto" and mark_sel == "pl")
+    from . import cost_pl, hist_pl
+
+    if not (use_pl and cost_pl.supported(seg_len)):
+        return jax.vmap(
+            lambda seg, n, t_, ln, dd, opf: _summarize_one(
+                seg, opf, t_, ln, dd, n, seg_len, hist)
+        )(data, n_valid, take, plen, dist, on_path_full)
+
+    def one(seg, opf, take_r, plen_r, dist_r, n):
+        pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+        on_path = opf[:seg_len] & (pay_idx < n)
+        is_match = on_path & take_r
+        mlen = jnp.where(is_match, plen_r, 0)
+        mdist = jnp.where(is_match, dist_r, 0)
+        exact = _verify_matches(seg, on_path, is_match, mlen, mdist,
+                                seg_len, n, hist=hist)
+        return on_path, is_match, mlen, mdist, exact
+
+    on_path, is_match, mlen, mdist, exact = jax.vmap(one)(
+        data, on_path_full, take, plen, dist, n_valid)
+    hist_lit, hist_dist = hist_pl.histograms_pl(
+        on_path, is_match, mlen, mdist,
+        data[:, hist:hist + seg_len].astype(jnp.int32),
+        interpret=hm == "pl-interpret")
+    return dict(on_path=on_path, is_match=is_match, length=mlen,
+                dist=mdist, hist_lit=hist_lit, hist_dist=hist_dist,
+                exact=exact)
+
+
+def _hot_lane(seg, length, dist, n, hl, hot, match_gain, *,
+              seg_len: int, hist: int, max_dist: int):
+    """Exact strided-run candidates at the mined hot distances: run
+    lengths of data[i] == data[i-d] by one batched suffix scan; the
+    longest run (ties -> nearer) competes with the round-A candidate
+    by bit gain.  Lanes merge by RUN LENGTH first and only the merged
+    winner gets a bit-cost evaluation: hot distances are frequent by
+    construction, so their dist codes cost within a bit or two of each
+    other and the longest run is the gain winner in all but
+    pathological ties — while per-lane match_gain cost 4 full-domain
+    gathers x HOT_DISTS (measured ~320 ms/MB of the round-B budget).
+    Reaches structural periods (image row strides) the depth-K bucket
+    search cannot see inside giant equal-content buckets."""
+    pay_idx = jnp.arange(seg_len, dtype=jnp.int32)
+    abs_idx = pay_idx + hist
+    srcs = jnp.stack([
+        seg[jnp.maximum(abs_idx - hot[j], 0)] for j in range(HOT_DISTS)
+    ])
+    eqs = srcs == seg[hist:][None, :]
+    runs = _run_length_scan_multi(eqs)
+    hot_len = jnp.zeros(seg_len, jnp.int32)
+    hot_d = jnp.zeros(seg_len, jnp.int32)
+    for j in range(HOT_DISTS):
+        d_j = hot[j]
+        ok_j = (abs_idx - d_j >= hist - hl) & (pay_idx < n) \
+            & (d_j >= 1) & (d_j <= max_dist)
+        len_j = jnp.where(ok_j, jnp.minimum(runs[j], MAX_MATCH), 0)
+        len_j = jnp.minimum(len_j, jnp.maximum(n - pay_idx, 0))
+        better = (len_j > hot_len) | ((len_j == hot_len) & (d_j < hot_d))
+        hot_len = jnp.where(better, len_j, hot_len)
+        hot_d = jnp.where(better, d_j, hot_d)
+    if match_gain is None:
+        return hot_len, hot_d
+    g0 = match_gain(length, dist)
+    g_hot = match_gain(hot_len, hot_d)
+    better = g_hot > g0
+    return (jnp.where(better, hot_len, length),
+            jnp.where(better, hot_d, dist))
+
+
 @functools.partial(jax.jit, static_argnames=("seg_len", "hist", "lazy",
-                                             "mark_sel"))
+                                             "mark_sel", "cost_sel"))
 def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
                     hist_len=None, hot_dists=None,
                     *, seg_len: int, hist: int = HIST, lazy: bool = True,
-                    window_bits: int = 15, mark_sel: str = "xla"):
+                    window_bits: int = 15, mark_sel: str = "xla",
+                    cost_sel: str = "xla"):
     """Cost-aware re-parse (round B of the two-round analysis).
 
     Round A's greedy parse fixes a symbol distribution; its canonical
@@ -1122,44 +1249,9 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
             )
 
         if hot is not None:
-            # exact strided-run candidates at the mined hot distances:
-            # run lengths of data[i] == data[i-d] by one batched suffix
-            # scan; costs compete with the round-A candidate.  This
-            # reaches structural periods (e.g. image row strides) that
-            # the depth-K bucket search cannot see.
-            #
-            # Lanes merge by RUN LENGTH first (ties -> nearer) and only
-            # the merged winner gets a bit-cost evaluation: hot
-            # distances are frequent by construction, so their dist
-            # codes cost within a bit or two of each other and the
-            # longest run is the gain winner in all but pathological
-            # ties — while per-lane match_gain cost 4 full-domain
-            # gathers x HOT_DISTS (measured ~320 ms/MB of the round-B
-            # budget; the merge leaves only the 8 source-byte gathers
-            # and one gain evaluation).
-            abs_idx = pay_idx + hist
-            srcs = jnp.stack([
-                seg[jnp.maximum(abs_idx - hot[j], 0)] for j in range(HOT_DISTS)
-            ])
-            eqs = srcs == seg[hist:][None, :]
-            runs = _run_length_scan_multi(eqs)
-            hot_len = jnp.zeros(seg_len, jnp.int32)
-            hot_d = jnp.zeros(seg_len, jnp.int32)
-            for j in range(HOT_DISTS):
-                d_j = hot[j]
-                ok_j = (abs_idx - d_j >= hist - hl) & (pay_idx < n) \
-                    & (d_j >= 1) & (d_j <= max_dist)
-                len_j = jnp.where(ok_j, jnp.minimum(runs[j], MAX_MATCH), 0)
-                len_j = jnp.minimum(len_j, jnp.maximum(n - pay_idx, 0))
-                better = (len_j > hot_len) | ((len_j == hot_len)
-                                              & (d_j < hot_d))
-                hot_len = jnp.where(better, len_j, hot_len)
-                hot_d = jnp.where(better, d_j, hot_d)
-            g0 = match_gain(length, dist)
-            g_hot = match_gain(hot_len, hot_d)
-            better = g_hot > g0
-            length = jnp.where(better, hot_len, length)
-            dist = jnp.where(better, hot_d, dist)
+            length, dist = _hot_lane(
+                seg, length, dist, n, hl, hot, match_gain,
+                seg_len=seg_len, hist=hist, max_dist=max_dist)
         gain = match_gain(length, dist)
         if lazy:
             nxt_gain = jnp.concatenate(
@@ -1173,7 +1265,44 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
 
     if hist_len is None:
         hist_len = n_valid * 0
-    if hot_dists is None:
+    from . import cost_pl
+
+    if cost_sel in ("pl", "pl-interpret") and cost_pl.supported(seg_len):
+        # ---- Pallas path: the four full-domain gather passes of the
+        # XLA form (lcost[lit], pref[pos+len], the two match-cost
+        # tables) become in-kernel lane-gather lookups; only the
+        # prefix-sum cumsum and the hot-lane run scans stay XLA.
+        # Bit-identical: the cost tables hold exact small ints, so the
+        # int32 kernel gains equal the float32 ones.
+        interp = cost_sel == "pl-interpret"
+        pay = jnp.arange(seg_len, dtype=jnp.int32)[None, :]
+        length = jnp.where(pay < n_valid[:, None], cand_length, 0)
+        length = jnp.where(cand_dist <= max_dist, length, 0)
+        lit = data[:, hist:hist + seg_len].astype(jnp.int32)
+        litbits = cost_pl.litbits_pl(lit, lit_cost.astype(jnp.int32),
+                                     interpret=interp)
+        slab = cost_pl._pref_slab(litbits)
+        hot_len = hot_d = None
+        if hot_dists is not None:
+            hot_len, hot_d = jax.vmap(
+                lambda seg, n, hl, hot: _hot_lane(
+                    seg, None, None, n, hl, hot, None,
+                    seg_len=seg_len, hist=hist, max_dist=max_dist)
+            )(data, n_valid, hist_len, hot_dists)
+        length, dist, gain = cost_pl.gain_pl(
+            length, cand_dist, hot_len, hot_d, slab,
+            lit_cost.astype(jnp.int32), dist_cost.astype(jnp.int32),
+            interpret=interp)
+        if lazy:
+            nxt_gain = jnp.concatenate(
+                [gain[:, 1:],
+                 jnp.full((gain.shape[0], 1), cost_pl.NEG_GAIN, jnp.int32)],
+                axis=1)
+            defer = nxt_gain - litbits > gain
+        else:
+            defer = jnp.zeros_like(gain, bool)
+        take = (length >= MIN_MATCH) & (gain > 0) & ~defer
+    elif hot_dists is None:
         take, length, dist = jax.vmap(
             lambda a, b, c, d, e, f, g: one(a, b, c, d, e, f, g, None)
         )(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost, hist_len)
@@ -1182,10 +1311,8 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
             data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
             hist_len, hot_dists)
     on_path_full = _mark_batched(take, length, seg_len, p, levels, mark_sel)
-    return jax.vmap(
-        lambda seg, n, t, ln, dd, opf: _summarize_one(
-            seg, opf, t, ln, dd, n, seg_len, hist)
-    )(data, n_valid, take, length, dist, on_path_full)
+    return _summarize_batch(data, n_valid, take, length, dist,
+                            on_path_full, seg_len, hist, mark_sel)
 
 
 def _hot_dists_host(dist_counts):
@@ -1257,6 +1384,7 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
                     window_bits: int = 15, hist: int = HIST):
     cfg = LEVELS[level]
     sel = mark_sel_for(data)
+    csel = cost_sel_for(data)
     cl, cd = res["cand_length"], res["cand_dist"]
     exact_a = cfg.exact or bool(np.asarray(res["exact"]).all())
     if not exact_a:
@@ -1295,7 +1423,7 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
         res2 = lz77_parse_cost(
             data, cl, cd, n_valid, lc, dc, hist_len, hot,
             seg_len=seg_len, hist=hist, lazy=cfg.lazy,
-            window_bits=window_bits, mark_sel=sel,
+            window_bits=window_bits, mark_sel=sel, cost_sel=csel,
         )
         if bool(np.asarray(res2["exact"]).all()):
             return res2
@@ -1310,5 +1438,5 @@ def analyze2_finish(res, data, n_valid, hist_len, *, level: int, seg_len: int,
         data, resx["cand_length"], resx["cand_dist"], n_valid, lc, dc,
         hist_len, hot,
         seg_len=seg_len, hist=hist, lazy=cfg.lazy, window_bits=window_bits,
-        mark_sel=sel,
+        mark_sel=sel, cost_sel=csel,
     )

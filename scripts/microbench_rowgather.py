@@ -32,14 +32,11 @@ def main():
     base = rng.integers(0, 1 << 30, size=t_len, dtype=np.int32)
 
     def timed(f, *a):
-        r = f(*a)
-        jax.block_until_ready(r)
-        _ = np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
+        _ = int(f(*a))  # warm/compile; fetch = the only true sync here
         ts = []
         for _ in range(3):
             t0 = time.time()
-            r = f(*a)
-            _ = np.asarray(jax.tree_util.tree_leaves(r)[0])[:1]
+            _ = int(f(*a))
             ts.append(time.time() - t0)
         return sorted(ts)[1]
 
@@ -89,6 +86,22 @@ def main():
 
         return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
 
+    # --- D: flat 1-D contiguous-run gather (the _build_slab idiom) -----
+    @functools.partial(jax.jit, static_argnames=("steps", "nargs", "pad"))
+    def flat_runs(p, b, steps, nargs, pad):
+        rec = jnp.stack(
+            [b + i for i in range(nargs)]
+            + [b * 0 for _ in range(pad - nargs)], axis=1).reshape(-1)
+
+        def body(i, carry):
+            idx = (p + carry) % t_len
+            g = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(rec, (s * pad,), (pad,))
+            )(idx)
+            return (carry + g[0, 0] + g[0, nargs - 1]) % 7
+
+        return jax.lax.fori_loop(0, steps, body, jnp.int32(0))
+
     for label, fn, kw in [
         ("9 x elementwise [T] gathers", many_elem, dict(nargs=9)),
         ("1 x [T,9] row gather", one_rows, dict(nargs=9)),
@@ -96,6 +109,7 @@ def main():
          dict(nargs=9, pad=16)),
         ("1 x [T,128]-padded row gather", one_rows_pad,
          dict(nargs=9, pad=128)),
+        ("flat 16-word contiguous runs", flat_runs, dict(nargs=9, pad=16)),
     ]:
         try:
             t_lo = timed(lambda: fn(d_perm, d_base, steps=4, **kw))
