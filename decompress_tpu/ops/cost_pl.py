@@ -164,13 +164,33 @@ def _gain_kernel(rb, with_hot: bool):
 
 
 def _grids(b, seg_len):
+    """Row geometry with per-segment padding: the production
+    SEGMENT_SIZE (130560 -> 1020 rows) is not a multiple of R_BLOCK, so
+    each segment's rows pad up to ``rp_pad`` dead rows (zeros in, don't
+    care out) to keep (R_BLOCK, 128) tiles and a uniform blocks-per-
+    segment table index map."""
     assert seg_len % LANES == 0
-    rows_per_seg = seg_len // LANES
-    rb = min(R_BLOCK, rows_per_seg)
-    assert rows_per_seg % rb == 0
-    rows = b * rows_per_seg
-    bps = rows_per_seg // rb  # row-blocks per segment
-    return rows, rb, bps
+    rps = seg_len // LANES
+    rb = min(R_BLOCK, rps)
+    rp_pad = -(-rps // rb) * rb
+    return rps, rp_pad, rb, rp_pad // rb
+
+
+def _to_rows(a, b, t, rp_pad):
+    """[B, T] (any int/bool dtype) -> int32[B*rp_pad, 128] with zero
+    pad rows appended per segment."""
+    rps = t // LANES
+    r = a.astype(jnp.int32).reshape(b, rps, LANES)
+    if rp_pad != rps:
+        r = jnp.concatenate(
+            [r, jnp.zeros((b, rp_pad - rps, LANES), jnp.int32)], axis=1)
+    return r.reshape(b * rp_pad, LANES)
+
+
+def _from_rows(o, b, t, rp_pad):
+    """Inverse of :func:`_to_rows` (drops the pad rows)."""
+    rps = t // LANES
+    return o.reshape(b, rp_pad, LANES)[:, :rps, :].reshape(b, t)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -180,7 +200,8 @@ def litbits_pl(lit: jnp.ndarray, lcost: jnp.ndarray,
 
     lit int32[B, T] (byte values), lcost int32[B, 286]."""
     b, t = lit.shape
-    rows, rb, bps = _grids(b, t)
+    rps, rp_pad, rb, bps = _grids(b, t)
+    rows = b * rp_pad
     lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
         lcost.astype(jnp.int32))
     out = pl.pallas_call(
@@ -193,8 +214,8 @@ def litbits_pl(lit: jnp.ndarray, lcost: jnp.ndarray,
         out_specs=pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
         interpret=interpret,
-    )(lit.reshape(rows, LANES), lc_pad)
-    return out.reshape(b, t)
+    )(_to_rows(lit, b, t, rp_pad), lc_pad)
+    return _from_rows(out, b, t, rp_pad)
 
 
 @jax.jit
@@ -207,12 +228,16 @@ def _pref_slab(litbits: jnp.ndarray) -> jnp.ndarray:
         [jnp.zeros((b, 1), jnp.int32), jnp.cumsum(litbits, axis=1)], axis=1)
     pad = jnp.broadcast_to(pe[:, -1:], (b, SLAB_W - 1))
     pe_ext = jnp.concatenate([pe, pad], axis=1)  # [B, T + 512]
-    rows = t // LANES
+    rps, rp_pad, rb, bps = _grids(b, t)
     parts = [
-        pe_ext[:, k * LANES:k * LANES + t].reshape(b, rows, LANES)
+        pe_ext[:, k * LANES:k * LANES + t].reshape(b, rps, LANES)
         for k in range(SLAB_W // LANES)
     ]
-    return jnp.concatenate(parts, axis=2).reshape(b * rows, SLAB_W)
+    slab = jnp.concatenate(parts, axis=2)          # [B, rps, 512]
+    if rp_pad != rps:
+        slab = jnp.concatenate(
+            [slab, jnp.zeros((b, rp_pad - rps, SLAB_W), jnp.int32)], axis=1)
+    return slab.reshape(b * rp_pad, SLAB_W)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -225,7 +250,8 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
     (or None); slab from :func:`_pref_slab`; lcost int32[B, 286],
     dcost int32[B, 30]."""
     b, t = length.shape
-    rows, rb, bps = _grids(b, t)
+    rps, rp_pad, rb, bps = _grids(b, t)
+    rows = b * rp_pad
     with_hot = hot_len is not None
     lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
         lcost.astype(jnp.int32))
@@ -233,10 +259,11 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
         dcost.astype(jnp.int32))
 
     tile = pl.BlockSpec((rb, LANES), lambda g: (g, 0))
-    ins = [length.reshape(rows, LANES), dist.reshape(rows, LANES)]
+    ins = [_to_rows(length, b, t, rp_pad), _to_rows(dist, b, t, rp_pad)]
     specs = [tile, tile]
     if with_hot:
-        ins += [hot_len.reshape(rows, LANES), hot_d.reshape(rows, LANES)]
+        ins += [_to_rows(hot_len, b, t, rp_pad),
+                _to_rows(hot_d, b, t, rp_pad)]
         specs += [tile, tile]
     ins += [slab, lc_pad, dc_pad]
     specs += [
@@ -252,12 +279,10 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 3,
         interpret=interpret,
     )(*ins)
-    return (olen.reshape(b, t), odist.reshape(b, t), ogain.reshape(b, t))
+    return tuple(_from_rows(o, b, t, rp_pad) for o in (olen, odist, ogain))
 
 
 def supported(seg_len: int) -> bool:
-    """The kernels need 128-lane rows and whole row-blocks."""
-    if seg_len % LANES:
-        return False
-    rps = seg_len // LANES
-    return rps % min(R_BLOCK, rps) == 0
+    """The kernels need 128-lane rows (segments pad their row count to
+    the block multiple internally)."""
+    return seg_len % LANES == 0

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .cost_pl import LANES, R_BLOCK, _grids, _ilog2, MIN_MATCH
+from .cost_pl import LANES, R_BLOCK, _grids, _ilog2, _to_rows, MIN_MATCH
 
 NLIT = 286
 NDIST = 30
@@ -95,11 +95,13 @@ def histograms_pl(on_path, is_match, length, dist, lit,
     (lit = payload byte values; masked positions don't count because
     on_path/is_match gate the increments)."""
     b, t = length.shape
-    rows, rb, bps = _grids(b, t)
+    rps, rp_pad, rb, bps = _grids(b, t)
+    rows = b * rp_pad
     tile = pl.BlockSpec((rb, LANES), lambda g: (g, 0))
 
     def rows32(a):
-        return a.astype(jnp.int32).reshape(rows, LANES)
+        # pad rows carry on_path == is_match == 0, so they count nothing
+        return _to_rows(a, b, t, rp_pad)
 
     hl, hd = pl.pallas_call(
         _hist_kernel(rb, bps),

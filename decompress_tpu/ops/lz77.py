@@ -109,12 +109,17 @@ LEVELS: dict[int, LevelConfig] = {
 
 
 def _descent_mode() -> str:
-    """LCP-descent strategy: "compact" (span rounds over the compacted
-    floor>=16 subset) or "full" (every payload position).  Read at trace
-    time — sweep across processes via DECOMPRESS_TPU_DESCENT."""
+    """LCP-descent strategy: "rec" (DEFAULT — one exact 64-byte tail
+    compare per candidate via a [T,16] record row gather; collision-free
+    past the floor), "compact" (fingerprint span rounds over the
+    compacted floor>=16 subset) or "full" (span rounds over every
+    payload position).  compact/full are bit-identical; rec differs
+    from them only where a descent fingerprint would have collided
+    (the exact compare then yields the true length directly).  Read at
+    trace time — sweep across processes via DECOMPRESS_TPU_DESCENT."""
     import os
 
-    return os.environ.get("DECOMPRESS_TPU_DESCENT", "compact")
+    return os.environ.get("DECOMPRESS_TPU_DESCENT", "rec")
 
 
 def mark_sel_for(arr) -> str:
@@ -564,6 +569,29 @@ def _match_candidates(data_u8, valid_lo, valid_hi, cfg: LevelConfig,
 
         def descend(bsafe_d, has_d, btier_d, floor_d):
             length = jnp.where(has_d, floor_d, 0)
+            if cfg.full_ladder and _descent_mode() == "rec":
+                # EXACT 64-byte tail compare, one record row gather per
+                # side: the full ladder's inter-rung gaps are <= 63
+                # bytes (the failed next rung bounds the true length),
+                # so the 16-word record starting at the floor resolves
+                # the whole extension byte-exactly — no fingerprint
+                # span walk, no 0..3 refine, no compaction machinery,
+                # and no descent-side collision class at all.  A [T,16]
+                # record row costs ~6.4 ns where the span walk paid
+                # ~10 gathered elements (scripts/microbench_rowgather).
+                # Floors themselves can still overestimate on a LADDER
+                # collision; the verify pass + trim loop cover that,
+                # as before.
+                rec64 = jnp.stack(
+                    [jnp.roll(w, -(4 * j)) for j in range(16)], axis=1)
+                idx_c = jnp.minimum(bsafe_d + length, t - 1)
+                idx_i = jnp.minimum(pos_pay + length, t - 1)
+                x = rec64[idx_c] ^ rec64[idx_i]          # [seg_len, 16]
+                pb = _prefix_bytes_equal(x)              # 4 iff word equal
+                miss = (x != 0).astype(jnp.int32)
+                allprev = (jnp.cumsum(miss, axis=1) - miss) == 0
+                lcp = jnp.sum(jnp.where(allprev, pb, 0), axis=1)
+                return jnp.where(has_d, length + lcp, 0)
             if (cfg.full_ladder and seg_len >= 4096
                     and _descent_mode() == "compact"):
                 # Compaction-by-floor-class, BIT-IDENTICAL to the full

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .cost_pl import (LANES, R_BLOCK, _grids, _ilog2, _seltree, MIN_MATCH)
+from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2, _seltree,
+                      _to_rows, MIN_MATCH)
 
 #: lit/len packed-table width (286 -> 3 lane blocks)
 LT_PAD = 384
@@ -95,7 +96,8 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
     (non-emitting lanes carry the same don't-care values; their nbits
     are 0, so the packer ignores them)."""
     b, t = length.shape
-    rows, rb, bps = _grids(b, t)
+    rps, rp_pad, rb, bps = _grids(b, t)
+    rows = b * rp_pad
     lt = jnp.zeros((b, LT_PAD), jnp.int32).at[:, :lit_cb.shape[1]].set(
         lit_cb.astype(jnp.int32))
     dt = jnp.zeros((b, DT_PAD), jnp.int32).at[:, :dist_cb.shape[1]].set(
@@ -103,7 +105,7 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
     tile = pl.BlockSpec((rb, LANES), lambda g: (g, 0))
 
     def rows32(a):
-        return a.astype(jnp.int32).reshape(rows, LANES)
+        return _to_rows(a, b, t, rp_pad)
 
     outs = pl.pallas_call(
         _slots_kernel(rb),
@@ -116,4 +118,4 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
         interpret=interpret,
     )(rows32(on_path), rows32(is_match), rows32(length), rows32(dist),
       rows32(sym_lit), lt, dt)
-    return tuple(o.reshape(b, t) for o in outs)
+    return tuple(_from_rows(o, b, t, rp_pad) for o in outs)
