@@ -55,6 +55,16 @@ NEG_GAIN = -(1 << 29)
 MIN_MATCH = 3
 
 
+def _seg_map(bps):
+    """Per-segment block index map: lax.div instead of `//` — the
+    floor-division lowering (sign-corrected select) is rejected by
+    Pallas block-spec index maps on the Mosaic path."""
+    def m(g, _b=bps):
+        return (jax.lax.div(g, _b), 0)
+
+    return m
+
+
 def _seltree(tab, idx, nblocks, rb):
     """out[r, j] = tab[0, idx[r, j]] for a (1, nblocks*128) table row,
     synthesized from native per-row lane gathers + a where chain."""
@@ -209,7 +219,7 @@ def litbits_pl(lit: jnp.ndarray, lcost: jnp.ndarray,
         grid=(rows // rb,),
         in_specs=[
             pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
-            pl.BlockSpec((1, LC_PAD), lambda g, _bps=bps: (g // _bps, 0)),
+            pl.BlockSpec((1, LC_PAD), _seg_map(bps)),
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -268,8 +278,8 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
     ins += [slab, lc_pad, dc_pad]
     specs += [
         pl.BlockSpec((rb, SLAB_W), lambda g: (g, 0)),
-        pl.BlockSpec((1, LC_PAD), lambda g, _bps=bps: (g // _bps, 0)),
-        pl.BlockSpec((1, DC_PAD), lambda g, _bps=bps: (g // _bps, 0)),
+        pl.BlockSpec((1, LC_PAD), _seg_map(bps)),
+        pl.BlockSpec((1, DC_PAD), _seg_map(bps)),
     ]
     olen, odist, ogain = pl.pallas_call(
         _gain_kernel(rb, with_hot),

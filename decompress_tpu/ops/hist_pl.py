@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .cost_pl import LANES, R_BLOCK, _grids, _ilog2, _to_rows, MIN_MATCH
+from .cost_pl import (LANES, R_BLOCK, _grids, _ilog2, _seg_map, _to_rows,
+                      MIN_MATCH)
 
 NLIT = 286
 NDIST = 30
@@ -108,8 +109,8 @@ def histograms_pl(on_path, is_match, length, dist, lit,
         grid=(rows // rb,),
         in_specs=[tile] * 5,
         out_specs=[
-            pl.BlockSpec((NLIT_P, LANES), lambda g, _b=bps: (g // _b, 0)),
-            pl.BlockSpec((NDIST_P, LANES), lambda g, _b=bps: (g // _b, 0)),
+            pl.BlockSpec((NLIT_P, LANES), _seg_map(bps)),
+            pl.BlockSpec((NDIST_P, LANES), _seg_map(bps)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * NLIT_P, LANES), jnp.int32),

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2, _seltree,
-                      _to_rows, MIN_MATCH)
+from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2, _seg_map,
+                      _seltree, _to_rows, MIN_MATCH)
 
 #: lit/len packed-table width (286 -> 3 lane blocks)
 LT_PAD = 384
@@ -111,8 +111,8 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
         _slots_kernel(rb),
         grid=(rows // rb,),
         in_specs=[tile, tile, tile, tile, tile,
-                  pl.BlockSpec((1, LT_PAD), lambda g, _b=bps: (g // _b, 0)),
-                  pl.BlockSpec((1, DT_PAD), lambda g, _b=bps: (g // _b, 0))],
+                  pl.BlockSpec((1, LT_PAD), _seg_map(bps)),
+                  pl.BlockSpec((1, DT_PAD), _seg_map(bps))],
         out_specs=[tile, tile, tile, tile],
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 4,
         interpret=interpret,
