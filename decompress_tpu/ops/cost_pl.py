@@ -65,16 +65,35 @@ def _seg_map(bps):
     return m
 
 
-def _seltree(tab, idx, nblocks, rb):
-    """out[r, j] = tab[0, idx[r, j]] for a (1, nblocks*128) table row,
-    synthesized from native per-row lane gathers + a where chain."""
+def _whole_map(g):
+    """Index map for a table input that stays fully resident: Mosaic
+    requires block sublane dims divisible by 8 OR equal to the array
+    dim, so per-segment (1, W) table blocks are illegal — instead the
+    whole [B, W] table rides as one block (a few KB) and kernels slice
+    their segment's row dynamically."""
+    return (0, 0)
+
+
+def _seg_id(bps):
+    """The current grid step's segment index."""
+    return jax.lax.div(pl.program_id(0), bps)
+
+
+def _seltree(tab, sid, idx, nblocks, rb):
+    """out[r, j] = tab[sid, idx[r, j]] for a fully-resident (B,
+    nblocks*128) table block.  The segment row replicates to the tile
+    via an axis-0 dynamic_gather (8-row sublane gathers are supported
+    on this target; broadcasting a (1,128) slice to (8,128) is a
+    Mosaic layout ICE — probed on chip, round 5), then each 128-block
+    resolves with a native lane gather + where chain."""
     lo = idx & (LANES - 1)
     hi = idx >> 7
+    ridx = jnp.full((rb, LANES), sid, jnp.int32)
     v = None
     for k in range(nblocks):
-        blk = jnp.broadcast_to(tab[:, LANES * k:LANES * (k + 1)],
-                               (rb, LANES))
-        g = jnp.take_along_axis(blk, lo, axis=1)
+        blk = tab[:, LANES * k:LANES * (k + 1)]
+        row = jnp.take_along_axis(blk, ridx, axis=0)
+        g = jnp.take_along_axis(row, lo, axis=1)
         v = g if v is None else jnp.where(hi == k, g, v)
     return v
 
@@ -122,15 +141,15 @@ def _dist_cost_parts(dist):
     return code, e
 
 
-def _litbits_kernel(rb):
+def _litbits_kernel(rb, bps):
     def kernel(lit_ref, lc_ref, out_ref):
-        out_ref[...] = _seltree(lc_ref[...], lit_ref[...],
+        out_ref[...] = _seltree(lc_ref[...], _seg_id(bps), lit_ref[...],
                                 LC_PAD // LANES, rb)
 
     return kernel
 
 
-def _gain_kernel(rb, with_hot: bool):
+def _gain_kernel(rb, bps, with_hot: bool):
     def kernel(*refs):
         if with_hot:
             (len_ref, dist_ref, hlen_ref, hdist_ref, slab_ref, lc_ref,
@@ -142,14 +161,17 @@ def _gain_kernel(rb, with_hot: bool):
         slab = slab_ref[...]
         lc = lc_ref[...]
         dc = dc_ref[...]
+        sid = _seg_id(bps)
         p0 = slab[:, :LANES]  # pref at own position
 
         def gain_of(ln, dst):
             lsym, lex = _len_cost_parts(ln)
             dsym, dex = _dist_cost_parts(dst)
-            cost = (_seltree(lc, jnp.clip(lsym, 0, 285), LC_PAD // LANES, rb)
+            cost = (_seltree(lc, sid, jnp.clip(lsym, 0, 285),
+                             LC_PAD // LANES, rb)
                     + lex
-                    + _seltree(dc, jnp.clip(dsym, 0, 29), DC_PAD // LANES, rb)
+                    + _seltree(dc, sid, jnp.clip(dsym, 0, 29),
+                               DC_PAD // LANES, rb)
                     + dex)
             span = _slab_lookup(slab, lane + ln, rb) - p0
             return jnp.where(ln >= MIN_MATCH, span - cost,
@@ -215,11 +237,11 @@ def litbits_pl(lit: jnp.ndarray, lcost: jnp.ndarray,
     lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
         lcost.astype(jnp.int32))
     out = pl.pallas_call(
-        _litbits_kernel(rb),
+        _litbits_kernel(rb, bps),
         grid=(rows // rb,),
         in_specs=[
             pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
-            pl.BlockSpec((1, LC_PAD), _seg_map(bps)),
+            pl.BlockSpec((b, LC_PAD), _whole_map),
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -278,11 +300,11 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
     ins += [slab, lc_pad, dc_pad]
     specs += [
         pl.BlockSpec((rb, SLAB_W), lambda g: (g, 0)),
-        pl.BlockSpec((1, LC_PAD), _seg_map(bps)),
-        pl.BlockSpec((1, DC_PAD), _seg_map(bps)),
+        pl.BlockSpec((b, LC_PAD), _whole_map),
+        pl.BlockSpec((b, DC_PAD), _whole_map),
     ]
     olen, odist, ogain = pl.pallas_call(
-        _gain_kernel(rb, with_hot),
+        _gain_kernel(rb, bps, with_hot),
         grid=(rows // rb,),
         in_specs=specs,
         out_specs=[tile, tile, tile],

@@ -20,8 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2, _seg_map,
-                      _seltree, _to_rows, MIN_MATCH)
+from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2, _seg_id,
+                      _seltree, _to_rows, _whole_map, MIN_MATCH)
 
 #: lit/len packed-table width (286 -> 3 lane blocks)
 LT_PAD = 384
@@ -47,7 +47,7 @@ def slot_sel_for(arr) -> str:
     return "pl" if plat in ("tpu", "axon") else "xla"
 
 
-def _slots_kernel(rb):
+def _slots_kernel(rb, bps):
     def kernel(onp_ref, ism_ref, len_ref, dist_ref, lit_ref, lt_ref, dt_ref,
                v01_ref, n01_ref, v23_ref, n23_ref):
         onp = onp_ref[...] != 0
@@ -65,7 +65,8 @@ def _slots_kernel(rb):
                           jnp.where(top, 28, 4 + 4 * e + ((l >> e) & 3)))
         lval = l & ((1 << e) - 1)
         sym = jnp.where(ism, 257 + lcode, lit_ref[...])
-        cb0 = _seltree(lt_ref[...], sym, LT_PAD // LANES, rb)
+        cb0 = _seltree(lt_ref[...], _seg_id(bps), sym,
+                       LT_PAD // LANES, rb)
         n0 = jnp.where(onp, cb0 & 15, 0)
         v01_ref[...] = (cb0 >> 4) | (lval << n0)
         n01_ref[...] = n0 + jnp.where(ism, e, 0)
@@ -77,7 +78,7 @@ def _slots_kernel(rb):
                         jnp.maximum(_ilog2(jnp.maximum(m, 1)) - 1, 0))
         dsym = jnp.where(dsmall, m, 2 + 2 * de_ + ((m >> de_) & 1))
         dval = m & ((1 << de_) - 1)
-        cb2 = _seltree(dt_ref[...], jnp.clip(dsym, 0, 29),
+        cb2 = _seltree(dt_ref[...], _seg_id(bps), jnp.clip(dsym, 0, 29),
                        DT_PAD // LANES, rb)
         n2 = jnp.where(ism, cb2 & 15, 0)
         v23_ref[...] = (cb2 >> 4) | (dval << n2)
@@ -108,11 +109,11 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
         return _to_rows(a, b, t, rp_pad)
 
     outs = pl.pallas_call(
-        _slots_kernel(rb),
+        _slots_kernel(rb, bps),
         grid=(rows // rb,),
         in_specs=[tile, tile, tile, tile, tile,
-                  pl.BlockSpec((1, LT_PAD), _seg_map(bps)),
-                  pl.BlockSpec((1, DT_PAD), _seg_map(bps))],
+                  pl.BlockSpec((b, LT_PAD), _whole_map),
+                  pl.BlockSpec((b, DT_PAD), _whole_map)],
         out_specs=[tile, tile, tile, tile],
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 4,
         interpret=interpret,
