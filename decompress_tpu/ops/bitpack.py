@@ -81,6 +81,47 @@ def _scatter_tiny(masked, offsets, out_words: int):
     return w.at[widx].add(lo, mode="drop").at[widx + 1].add(hi, mode="drop")
 
 
+def _invert_offsets_b(widx: jnp.ndarray, out_words: int) -> jnp.ndarray:
+    """Batched :func:`_invert_offsets`: widx int32[B, N] (monotone per
+    row) -> F int32[B, out_words+1].  The scatter-min runs over a
+    manually flattened index space — a vmapped scatter lowers to a
+    batched scatter XLA handles far worse than one flat pass."""
+    b, n = widx.shape
+    stride = out_words + 1
+    flat_idx = (jnp.minimum(widx, out_words)
+                + (jnp.arange(b, dtype=jnp.int32) * stride)[:, None]).reshape(-1)
+    ranks = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :],
+                             (b, n)).reshape(-1)
+    f0 = jnp.full(b * stride, n, jnp.int32).at[flat_idx].min(ranks)
+    return jax.lax.cummin(f0.reshape(b, stride), axis=1, reverse=True)
+
+
+def _plane_words_b(masked, offsets, out_words: int):
+    """Batched :func:`_plane_words` ([B, N] in, [B, out_words] out).
+
+    The running sums use int32 (two's-complement wraparound is
+    bit-identical to uint32 mod-2^32 arithmetic, and int32 scans are
+    the fast path)."""
+    r = (offsets & 31).astype(jnp.uint32)
+    lo = (masked << r).astype(jnp.int32)
+    hi = jnp.where(r == jnp.uint32(0), jnp.uint32(0),
+                   masked >> ((jnp.uint32(32) - r) & jnp.uint32(31))
+                   ).astype(jnp.int32)
+    b = masked.shape[0]
+    f = _invert_offsets_b(offsets >> 5, out_words)
+    z = jnp.zeros((b, 1), jnp.int32)
+    el = jnp.concatenate([z, jnp.cumsum(lo, axis=1)], axis=1)
+    eh = jnp.concatenate([z, jnp.cumsum(hi, axis=1)], axis=1)
+
+    def take(a, idx):
+        return jnp.take_along_axis(a, idx, axis=1)
+
+    out_lo = take(el, f[:, 1:]) - take(el, f[:, :-1])
+    dh = take(eh, f[:, 1:]) - take(eh, f[:, :-1])
+    out_hi = jnp.concatenate([z, dh[:, :-1]], axis=1)
+    return (out_lo + out_hi).astype(jnp.uint32)
+
+
 @functools.partial(jax.jit, static_argnames=("out_words",))
 def pack_slot_planes(v0, n0, v1, n1, hdr_vals, hdr_bits, eob_vals, eob_bits,
                      out_words: int):
@@ -97,25 +138,24 @@ def pack_slot_planes(v0, n0, v1, n1, hdr_vals, hdr_bits, eob_vals, eob_bits,
     bit count, which the split-point writer reuses.
     """
 
-    def one(v0_, n0_, v1_, n1_, hv, hb, ev, eb):
-        hdr_off = jnp.cumsum(hb) - hb
-        hdr_total = hdr_off[-1] + hb[-1]
-        posbits = n0_ + n1_
-        base = hdr_total + jnp.cumsum(posbits) - posbits
-        off0 = base
-        off1 = base + n0_
-        eob_off = base[-1] + posbits[-1]
-        total = eob_off + eb[0]
-        words = _plane_words(_mask_vals(v0_, n0_), off0, out_words)
-        words = words + _plane_words(_mask_vals(v1_, n1_), off1, out_words)
-        tv = jnp.concatenate([hv, ev])
-        tn = jnp.concatenate([hb, eb])
-        toff = jnp.concatenate([hdr_off, eob_off[None]])
-        words = words + _scatter_tiny(_mask_vals(tv, tn), toff, out_words)
-        return words, total, off0, posbits
-
-    return jax.vmap(one)(v0, n0, v1, n1, hdr_vals, hdr_bits,
-                         eob_vals, eob_bits)
+    hdr_off = jnp.cumsum(hdr_bits, axis=1) - hdr_bits
+    hdr_total = hdr_off[:, -1:] + hdr_bits[:, -1:]
+    posbits = n0 + n1
+    base = hdr_total + jnp.cumsum(posbits, axis=1) - posbits
+    off0 = base
+    off1 = base + n0
+    eob_off = base[:, -1:] + posbits[:, -1:]
+    total = (eob_off + eob_bits)[:, 0]
+    words = _plane_words_b(_mask_vals(v0, n0), off0, out_words)
+    words = words + _plane_words_b(_mask_vals(v1, n1), off1, out_words)
+    tv = jnp.concatenate([hdr_vals, eob_vals], axis=1)
+    tn = jnp.concatenate([hdr_bits, eob_bits], axis=1)
+    toff = jnp.concatenate([hdr_off, eob_off], axis=1)
+    words = words + jax.vmap(
+        lambda tv_, tn_, to_: _scatter_tiny(_mask_vals(tv_, tn_), to_,
+                                            out_words)
+    )(tv, tn, toff)
+    return words, total, off0, posbits
 
 
 @functools.partial(jax.jit, static_argnames=("out_words",))
