@@ -63,8 +63,9 @@ def _plane_words(masked, offsets, out_words: int):
     f = _invert_offsets(offsets >> 5, out_words)
     el = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(lo)])
     eh = jnp.concatenate([jnp.zeros(1, jnp.uint32), jnp.cumsum(hi)])
-    out_lo = el[f[1:]] - el[f[:-1]]
-    dh = eh[f[1:]] - eh[f[:-1]]
+    gl, gh = el[f], eh[f]  # one boundary gather per prefix array
+    out_lo = gl[1:] - gl[:-1]
+    dh = gh[1:] - gh[:-1]
     # hi parts land one word later: word w collects hi of widx == w-1
     return out_lo + jnp.concatenate([jnp.zeros(1, jnp.uint32), dh[:-1]])
 
@@ -113,11 +114,13 @@ def _plane_words_b(masked, offsets, out_words: int):
     el = jnp.concatenate([z, jnp.cumsum(lo, axis=1)], axis=1)
     eh = jnp.concatenate([z, jnp.cumsum(hi, axis=1)], axis=1)
 
-    def take(a, idx):
-        return jnp.take_along_axis(a, idx, axis=1)
-
-    out_lo = take(el, f[:, 1:]) - take(el, f[:, :-1])
-    dh = take(eh, f[:, 1:]) - take(eh, f[:, :-1])
+    # one gather of el/eh at every F boundary (W+1 points), then
+    # adjacent differences — half the take volume of gathering the
+    # f[1:] and f[:-1] boundary sets separately
+    gl = jnp.take_along_axis(el, f, axis=1)
+    gh = jnp.take_along_axis(eh, f, axis=1)
+    out_lo = gl[:, 1:] - gl[:, :-1]
+    dh = gh[:, 1:] - gh[:, :-1]
     out_hi = jnp.concatenate([z, dh[:, :-1]], axis=1)
     return (out_lo + out_hi).astype(jnp.uint32)
 
