@@ -452,11 +452,40 @@ def main() -> int:
 
         _run_pack()  # warm
         t_pack = _tmed(_run_pack)
+
+        # as-run pipeline (tunnel): the full A -> B -> plan -> pack
+        # path exactly as de.py's driver runs it.  Through THIS
+        # environment's tunnel it is SLOWER than the per-stage sum —
+        # the mid-pipeline host exchanges (hist fetch for cost tables,
+        # ~10 small table uploads) each pay a ~15-25 ms round-trip a
+        # PCIe host doesn't — so it is reported as a labelled extra,
+        # not the headline (measured: ~350 vs ~225 ms/MB stage-sum).
+        def _run_pipeline():
+            r0 = _lz77.analyze2_start(_dd, _nn, _hh, level=args.level,
+                                      seg_len=_seg, hist=0)
+            r = _lz77.analyze2_finish(r0, _dd, _nn, _hh, level=args.level,
+                                      seg_len=_seg, hist=0)
+            hlit = _np2.asarray(r["hist_lit"])
+            hdist = _np2.asarray(r["hist_dist"])
+            hdr, tabs, _kinds2 = _de.plan_blocks(hlit, hdist, _nn_np,
+                                                 _finals, pad_to=_b)
+            td = [_jnp2.asarray(t) for t in (hdr[0], hdr[1], *tabs)]
+            pk = _de._pack_segments(
+                r, _dd, *td, _out_words, n_splits=_sharded.N_SPLITS,
+                split_stride=_sharded.SPLIT_STRIDE,
+                split_bits=_sharded.SPLIT_BITS)
+            (_w, _totals), _sp = pk
+            return int(_jnp2.sum(_totals))
+
+        _run_pipeline()  # warm
+        t_pipe = _tmed(_run_pipeline)
         c_kernel_mbps = _b * _seg / 1e6 / (t_round_a + t_round_b)
         c_pipeline_mbps = _b * _seg / 1e6 / (
             t_round_a + t_round_b + t_plan + t_pack)
+        c_asrun_mbps = _b * _seg / 1e6 / t_pipe
     except Exception:
         c_pipeline_mbps = 0.0
+        c_asrun_mbps = 0.0
 
     ratio = len(arch) / len(data)
     # BASELINE targets are per-CHIP rates; the chip-resident kernel
@@ -479,6 +508,7 @@ def main() -> int:
         "inflate_device_kernel_MBps": round(d_kernel_mbps, 1),
         "inflate_kernel_batch_mb": kernel_batch_mb,
         "deflate_pipeline_kernel_MBps": round(c_pipeline_mbps, 2),
+        "deflate_pipeline_asrun_tunnel_MBps": round(c_asrun_mbps, 2),
         "deflate_analyze_kernel_MBps": round(c_kernel_mbps, 2),
     }
     unit = "GB/s/chip (kernel-resident geomean)"
@@ -521,7 +551,12 @@ def main() -> int:
                     "note": "value/vs_baseline = chip-resident kernel "
                             "rates (medians); deflate leg = full "
                             "pipeline A+B+plan+pack incl. split points "
-                            "(deflate_analyze_* = A+B only); inflate "
+                            "(stage timings on staged device arrays, "
+                            "summed; *_asrun_tunnel_* = the same path "
+                            "as de.py runs it, incl. mid-pipeline host "
+                            "exchanges that each cost a tunnel "
+                            "round-trip PCIe hosts don't pay; "
+                            "deflate_analyze_* = A+B only); inflate "
                             "leg = total-batch decode rate at "
                             "inflate_kernel_batch_mb (PERF.md's ladder "
                             "total, not the ~1.3 GB/s marginal rate); "

@@ -136,6 +136,30 @@ def main():
 
     t_pack0 = timed(run_pack_nosplit, "pack kernel (n_splits=0)")
 
+    # --- full pipeline as-run (tunnel) -----------------------------------
+    # The full A -> B -> plan -> pack path exactly as de.py's driver
+    # runs it.  Through the tunnel this is SLOWER than the stage sum:
+    # the mid-pipeline host exchanges (hist fetch for cost tables, ~10
+    # small table uploads) each pay a ~15-25 ms round-trip that a PCIe
+    # host doesn't (measured ~350 vs ~225 ms/MB stage-sum).
+    def full_pipeline():
+        r0 = lz77.analyze2_start(d, nv, hl, level=args.level, seg_len=seg,
+                                 hist=0)
+        r = lz77.analyze2_finish(r0, d, nv, hl, level=args.level,
+                                 seg_len=seg, hist=0)
+        hlit = np.asarray(r["hist_lit"])
+        hdist = np.asarray(r["hist_dist"])
+        hdr_, tabs_, kinds_ = de.plan_blocks(hlit, hdist, n_valid,
+                                             final_flags, pad_to=b)
+        td = [jnp.asarray(t) for t in (hdr_[0], hdr_[1], *tabs_)]
+        pk = de._pack_segments(
+            r, d, *td, out_words, n_splits=sharded.N_SPLITS,
+            split_stride=sharded.SPLIT_STRIDE, split_bits=sharded.SPLIT_BITS)
+        (w_, totals_), _sp_ = pk
+        return fetch(totals_)
+
+    t_pipe = timed(full_pipeline, "full pipeline as-run (tunnel exchanges)")
+
     # --- fetch of packed words ------------------------------------------
     pk = de._pack_segments(
         res, d, *tab_dev, out_words, n_splits=sharded.N_SPLITS,
@@ -161,6 +185,7 @@ def main():
                  ("roundB+hist fetch", t_fin), ("host plan", t_host),
                  ("pack (with splits)", t_pack),
                  ("pack (no splits)", t_pack0),
+                 ("pipeline as-run (tunnel)", t_pipe),
                  ("fetch words", t_fetch), ("dispatch floor", t_disp),
                  ("e2e", t_e2e)]:
         print(f"{k:<22} {v/mb*1e3:8.1f}")
