@@ -80,22 +80,39 @@ def _seg_id(bps):
 
 
 def _seltree(tab, sid, idx, nblocks, rb):
-    """out[r, j] = tab[sid, idx[r, j]] for a fully-resident (B,
+    """out[r, j] = tab[sid, idx[r, j]] for a fully-resident (TB,
     nblocks*128) table block.  The segment row replicates to the tile
     via an axis-0 dynamic_gather (8-row sublane gathers are supported
     on this target; broadcasting a (1,128) slice to (8,128) is a
     Mosaic layout ICE — probed on chip, round 5), then each 128-block
-    resolves with a native lane gather + where chain."""
+    resolves with a native lane gather + where chain.
+
+    Mosaic's gather lowering requires the index rows to EQUAL the
+    table rows, so callers pad the table to ``max(B, rb)`` rows
+    (:func:`_pad_table_rows`) and the gather output slices back down
+    to the tile's ``rb`` rows — tail batches with B < R_BLOCK hit
+    this (the bench e2e's 65th segment, B=1)."""
     lo = idx & (LANES - 1)
     hi = idx >> 7
-    ridx = jnp.full((rb, LANES), sid, jnp.int32)
+    ridx = jnp.full((tab.shape[0], LANES), sid, jnp.int32)
     v = None
     for k in range(nblocks):
         blk = tab[:, LANES * k:LANES * (k + 1)]
-        row = jnp.take_along_axis(blk, ridx, axis=0)
+        row = jnp.take_along_axis(blk, ridx, axis=0)[:rb]
         g = jnp.take_along_axis(row, lo, axis=1)
         v = g if v is None else jnp.where(hi == k, g, v)
     return v
+
+
+def _pad_table_rows(tab: jnp.ndarray, rb: int) -> jnp.ndarray:
+    """Zero-pad a per-segment table's row count to max(B, rb) so the
+    in-kernel segment-row gather is shape-legal under Mosaic (see
+    :func:`_seltree`); sid only ever addresses the first B rows."""
+    b = tab.shape[0]
+    if b >= rb:
+        return tab
+    return jnp.concatenate(
+        [tab, jnp.zeros((rb - b,) + tab.shape[1:], tab.dtype)], axis=0)
 
 
 def _slab_lookup(slab, idx, rb):
@@ -234,14 +251,15 @@ def litbits_pl(lit: jnp.ndarray, lcost: jnp.ndarray,
     b, t = lit.shape
     rps, rp_pad, rb, bps = _grids(b, t)
     rows = b * rp_pad
-    lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
-        lcost.astype(jnp.int32))
+    lc_pad = _pad_table_rows(
+        jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
+            lcost.astype(jnp.int32)), rb)
     out = pl.pallas_call(
         _litbits_kernel(rb, bps),
         grid=(rows // rb,),
         in_specs=[
             pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
-            pl.BlockSpec((b, LC_PAD), _whole_map),
+            pl.BlockSpec((lc_pad.shape[0], LC_PAD), _whole_map),
         ],
         out_specs=pl.BlockSpec((rb, LANES), lambda g: (g, 0)),
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.int32),
@@ -285,10 +303,12 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
     rps, rp_pad, rb, bps = _grids(b, t)
     rows = b * rp_pad
     with_hot = hot_len is not None
-    lc_pad = jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
-        lcost.astype(jnp.int32))
-    dc_pad = jnp.zeros((b, DC_PAD), jnp.int32).at[:, :dcost.shape[1]].set(
-        dcost.astype(jnp.int32))
+    lc_pad = _pad_table_rows(
+        jnp.zeros((b, LC_PAD), jnp.int32).at[:, :lcost.shape[1]].set(
+            lcost.astype(jnp.int32)), rb)
+    dc_pad = _pad_table_rows(
+        jnp.zeros((b, DC_PAD), jnp.int32).at[:, :dcost.shape[1]].set(
+            dcost.astype(jnp.int32)), rb)
 
     tile = pl.BlockSpec((rb, LANES), lambda g: (g, 0))
     ins = [_to_rows(length, b, t, rp_pad), _to_rows(dist, b, t, rp_pad)]
@@ -300,8 +320,8 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
     ins += [slab, lc_pad, dc_pad]
     specs += [
         pl.BlockSpec((rb, SLAB_W), lambda g: (g, 0)),
-        pl.BlockSpec((b, LC_PAD), _whole_map),
-        pl.BlockSpec((b, DC_PAD), _whole_map),
+        pl.BlockSpec((lc_pad.shape[0], LC_PAD), _whole_map),
+        pl.BlockSpec((dc_pad.shape[0], DC_PAD), _whole_map),
     ]
     olen, odist, ogain = pl.pallas_call(
         _gain_kernel(rb, bps, with_hot),

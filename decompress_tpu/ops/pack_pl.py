@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2, _seg_id,
-                      _seltree, _to_rows, _whole_map, MIN_MATCH)
+from .cost_pl import (LANES, R_BLOCK, _from_rows, _grids, _ilog2,
+                      _pad_table_rows, _seg_id, _seltree, _to_rows,
+                      _whole_map, MIN_MATCH)
 
 #: lit/len packed-table width (286 -> 3 lane blocks)
 LT_PAD = 384
@@ -99,10 +100,12 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
     b, t = length.shape
     rps, rp_pad, rb, bps = _grids(b, t)
     rows = b * rp_pad
-    lt = jnp.zeros((b, LT_PAD), jnp.int32).at[:, :lit_cb.shape[1]].set(
-        lit_cb.astype(jnp.int32))
-    dt = jnp.zeros((b, DT_PAD), jnp.int32).at[:, :dist_cb.shape[1]].set(
-        dist_cb.astype(jnp.int32))
+    lt = _pad_table_rows(
+        jnp.zeros((b, LT_PAD), jnp.int32).at[:, :lit_cb.shape[1]].set(
+            lit_cb.astype(jnp.int32)), rb)
+    dt = _pad_table_rows(
+        jnp.zeros((b, DT_PAD), jnp.int32).at[:, :dist_cb.shape[1]].set(
+            dist_cb.astype(jnp.int32)), rb)
     tile = pl.BlockSpec((rb, LANES), lambda g: (g, 0))
 
     def rows32(a):
@@ -112,8 +115,8 @@ def build_slots_pl(on_path, is_match, length, dist, sym_lit,
         _slots_kernel(rb, bps),
         grid=(rows // rb,),
         in_specs=[tile, tile, tile, tile, tile,
-                  pl.BlockSpec((b, LT_PAD), _whole_map),
-                  pl.BlockSpec((b, DT_PAD), _whole_map)],
+                  pl.BlockSpec((lt.shape[0], LT_PAD), _whole_map),
+                  pl.BlockSpec((dt.shape[0], DT_PAD), _whole_map)],
         out_specs=[tile, tile, tile, tile],
         out_shape=[jax.ShapeDtypeStruct((rows, LANES), jnp.int32)] * 4,
         interpret=interpret,

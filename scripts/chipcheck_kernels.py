@@ -176,6 +176,57 @@ def main():
               "hist_dist", "exact"):
         check(f"parse_cost pl == xla [{k}]", outs["pl"][k], outs["xla"][k])
 
+    # --- tail batch (B=1 < R_BLOCK): Mosaic shape-legality ------------
+    # The e2e driver pads trailing batches to pow2 sizes below
+    # MAX_DEVICE_BATCH; the per-segment tables then have fewer rows
+    # than the (R_BLOCK, 128) tile and must pad (cost_pl._pad_table_rows)
+    # for the in-kernel segment-row gather to lower.  Round-5 bench e2e
+    # found this; prove the fix on chip.
+    d1, nv1, hl1 = d[:1], nv[:1], hl0[:1]
+    res1 = lz77.lz77_analyze(d1, nv1, hl1, level=6, seg_len=seg, hist=0,
+                             mark_sel=lz77.mark_sel_for(d1))
+    lc1_np, dc1_np = lz77._cost_tables_host(
+        np.asarray(res1["hist_lit"]), np.asarray(res1["hist_dist"]))
+    t0 = time.time()
+    lb1 = cost_pl.litbits_pl(d1.astype(jnp.int32),
+                             jnp.asarray(lc1_np).astype(jnp.int32))
+    lb1_np = np.asarray(lb1)
+    print(f"# litbits_pl B=1 compile+run {time.time()-t0:.1f}s", flush=True)
+    check("litbits_pl B=1 tail batch", lb1_np,
+          np.take_along_axis(lc1_np.astype(np.int32),
+                             np.asarray(d1).astype(np.int32), axis=1))
+    outs1 = {}
+    for csel in ("xla", "pl"):
+        r21 = lz77.lz77_parse_cost(
+            d1, res1["cand_length"], res1["cand_dist"], nv1,
+            jnp.asarray(lc1_np), jnp.asarray(dc1_np), hl1, None,
+            seg_len=seg, hist=0, mark_sel=lz77.mark_sel_for(d1),
+            cost_sel=csel)
+        outs1[csel] = {k: np.asarray(v) for k, v in r21.items()}
+    for k in ("on_path", "is_match", "length", "dist"):
+        check(f"parse_cost B=1 pl == xla [{k}]",
+              outs1["pl"][k], outs1["xla"][k])
+    hdr1, tabs1, _k1 = de.plan_blocks(
+        np.asarray(res1["hist_lit"]), np.asarray(res1["hist_dist"]),
+        np.full(1, seg, np.int32), np.ones(1, bool), pad_to=1)
+    lcod1, lbit1, dcod1, dbit1, _ev1, _eb1 = (jnp.asarray(t) for t in tabs1)
+    v011, n011, v231, n231 = pack_pl.build_slots_pl(
+        res1["on_path"], res1["is_match"], res1["length"], res1["dist"],
+        d1, (lcod1.astype(jnp.int32) << 4) | lbit1,
+        (dcod1.astype(jnp.int32) << 4) | dbit1)
+    lcode1, lex1, lval1 = (np.asarray(x) for x in
+                           codes.length_code_parts(res1["length"]))
+    sym1 = np.where(np.asarray(res1["is_match"]), 257 + lcode1,
+                    np.asarray(d1).astype(np.int32))
+    lit_cb1 = np.asarray((lcod1.astype(jnp.int32) << 4) | lbit1)
+    cb01 = np.take_along_axis(lit_cb1, sym1, axis=1)
+    n01r = np.where(np.asarray(res1["on_path"]), cb01 & 15, 0)
+    check("build_slots_pl B=1 v01/n01",
+          np.stack([np.asarray(v011), np.asarray(n011)]),
+          np.stack([(cb01 >> 4) | (lval1 << n01r),
+                    n01r + np.where(np.asarray(res1["is_match"]),
+                                    lex1, 0)]))
+
     print(f"# RESULT: {'ALL PASS' if fails == 0 else f'{fails} FAILURES'}",
           flush=True)
     return 1 if fails else 0
