@@ -477,12 +477,16 @@ def main() -> int:
             (_w, _totals), _sp = pk
             return int(_jnp2.sum(_totals))
 
-        _run_pipeline()  # warm
-        t_pipe = _tmed(_run_pipeline)
+        # assign the measured rates BEFORE the as-run experiment: a
+        # failure there must not wipe a completed measurement
         c_kernel_mbps = _b * _seg / 1e6 / (t_round_a + t_round_b)
         c_pipeline_mbps = _b * _seg / 1e6 / (
             t_round_a + t_round_b + t_plan + t_pack)
-        c_asrun_mbps = _b * _seg / 1e6 / t_pipe
+        try:
+            _run_pipeline()  # warm
+            c_asrun_mbps = _b * _seg / 1e6 / _tmed(_run_pipeline)
+        except Exception:
+            c_asrun_mbps = 0.0
     except Exception:
         c_pipeline_mbps = 0.0
         c_asrun_mbps = 0.0

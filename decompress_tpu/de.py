@@ -617,7 +617,8 @@ def _get_pack_jit():
         lit_cb = (lit_codes.astype(jnp.int32) << 4) | lit_bits
         dist_cb = (dist_codes.astype(jnp.int32) << 4) | dist_bits
         if (slot_sel in ("pl", "pl-interpret")
-                and cost_pl_ops.supported(length.shape[1])):
+                and cost_pl_ops.supported(length.shape[1],
+                                          length.shape[0])):
             # Pallas slot builder: the two per-segment table gathers
             # become in-kernel select-trees; the code arithmetic rides
             # along (ops/pack_pl.py) — bit-identical to the XLA form

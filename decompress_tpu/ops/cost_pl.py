@@ -334,7 +334,14 @@ def gain_pl(length, dist, hot_len, hot_d, slab, lcost, dcost,
     return tuple(_from_rows(o, b, t, rp_pad) for o in (olen, odist, ogain))
 
 
-def supported(seg_len: int) -> bool:
+def supported(seg_len: int, batch: int | None = None) -> bool:
     """The kernels need 128-lane rows (segments pad their row count to
-    the block multiple internally)."""
+    the block multiple internally) and, when ``batch`` is given, at
+    most R_BLOCK segments per dispatch: the in-kernel segment-row
+    gather is an axis-0 sublane gather, and sublane gathers of more
+    than 8 rows ICE Mosaic on this target (CLAUDE.md) — batches padded
+    BELOW R_BLOCK are handled by :func:`_pad_table_rows`, batches
+    above it (DECOMPRESS_TPU_BATCH > 8) fall back to the XLA path."""
+    if batch is not None and batch > R_BLOCK:
+        return False
     return seg_len % LANES == 0

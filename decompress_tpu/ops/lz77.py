@@ -1295,7 +1295,8 @@ def lz77_parse_cost(data, cand_length, cand_dist, n_valid, lit_cost, dist_cost,
         hist_len = n_valid * 0
     from . import cost_pl
 
-    if cost_sel in ("pl", "pl-interpret") and cost_pl.supported(seg_len):
+    if (cost_sel in ("pl", "pl-interpret")
+            and cost_pl.supported(seg_len, data.shape[0])):
         # ---- Pallas path: the four full-domain gather passes of the
         # XLA form (lcost[lit], pref[pos+len], the two match-cost
         # tables) become in-kernel lane-gather lookups; only the

@@ -2,7 +2,6 @@
 and levels, stdlib-decoded and device-decoded back, byte-compared."""
 import pathlib, sys, time, gzip
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
-import numpy as np
 
 corpus = pathlib.Path(__file__).parent.parent / "tests" / "corpus"
 base = b"".join(p.read_bytes() for p in sorted(corpus.iterdir()))

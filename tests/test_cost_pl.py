@@ -59,9 +59,14 @@ def test_parse_cost_pl_matches_xla(seg_len, mine):
             np.asarray(a[k]), np.asarray(p[k]), err_msg=k)
 
 
-def test_litbits_and_gain_primitives():
-    rng = np.random.default_rng(3)
-    b, t = 2, 1024
+@pytest.mark.parametrize("b,seed", [(2, 3), (1, 11)])
+def test_litbits_and_gain_primitives(b, seed):
+    """b=2 is the regular small-batch case; b=1 is the tail-batch
+    (B < R_BLOCK) case where the per-segment tables pad to R_BLOCK
+    rows so the in-kernel segment-row gather is shape-legal under
+    Mosaic (the bench e2e's 65th segment hit this)."""
+    rng = np.random.default_rng(seed)
+    t = 1024
     lit = jnp.asarray(rng.integers(0, 256, (b, t), dtype=np.int64)
                       .astype(np.int32))
     lcost = jnp.asarray(rng.integers(1, 15, (b, 286), dtype=np.int64)
@@ -85,50 +90,6 @@ def test_litbits_and_gain_primitives():
     np.testing.assert_array_equal(np.asarray(mlen), ln)
     np.testing.assert_array_equal(np.asarray(mdist), dist)
     # reference gain in numpy
-    from decompress_tpu.ops import codes
-
-    lsym, lex, _ = (np.asarray(x) for x in codes.length_code_parts(
-        jnp.asarray(ln)))
-    dsym, dex, _ = (np.asarray(x) for x in codes.dist_code_parts(
-        jnp.asarray(dist)))
-    cost = (np.take_along_axis(np.asarray(lcost),
-                               np.clip(257 + lsym, 0, 285), axis=1)
-            + lex
-            + np.take_along_axis(np.asarray(dcost),
-                                 np.clip(dsym, 0, 29), axis=1)
-            + dex)
-    pos = np.arange(t)[None, :]
-    span = (np.take_along_axis(pref, np.minimum(pos + ln, t), axis=1)
-            - np.take_along_axis(pref, pos, axis=1))
-    ref_gain = np.where(ln >= 3, span - cost, cost_pl.NEG_GAIN)
-    np.testing.assert_array_equal(np.asarray(gain), ref_gain)
-
-
-def test_litbits_pl_tail_batch_b1():
-    """B=1 tail batch (B < R_BLOCK): the per-segment tables pad to
-    R_BLOCK rows so the in-kernel segment-row gather is shape-legal
-    under Mosaic (the bench e2e's 65th segment hit this)."""
-    rng = np.random.default_rng(11)
-    b, t = 1, 1024
-    lit = jnp.asarray(rng.integers(0, 256, (b, t), dtype=np.int64)
-                      .astype(np.int32))
-    lcost = jnp.asarray(rng.integers(1, 15, (b, 286), dtype=np.int64)
-                        .astype(np.int32))
-    lb = cost_pl.litbits_pl(lit, lcost, interpret=True)
-    ref = np.take_along_axis(np.asarray(lcost), np.asarray(lit), axis=1)
-    np.testing.assert_array_equal(np.asarray(lb), ref)
-
-    slab = cost_pl._pref_slab(lb)
-    ln = rng.integers(0, 259, (b, t)).astype(np.int32)
-    dist = rng.integers(1, 1 << 15, (b, t)).astype(np.int32)
-    dcost = jnp.asarray(rng.integers(1, 15, (b, 30), dtype=np.int64)
-                        .astype(np.int32))
-    mlen, mdist, gain = cost_pl.gain_pl(
-        jnp.asarray(ln), jnp.asarray(dist), None, None, slab, lcost,
-        dcost, interpret=True)
-    pref = np.concatenate(
-        [np.zeros((b, 1), np.int32), np.cumsum(np.asarray(lb), axis=1)],
-        axis=1)
     from decompress_tpu.ops import codes
 
     lsym, lex, _ = (np.asarray(x) for x in codes.length_code_parts(
