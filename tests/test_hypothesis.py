@@ -11,6 +11,7 @@ paths exercised are the host command encoder and the streaming Def
 protocol (segment pipelines are covered by the corpus suites).
 """
 
+import os
 import zlib
 
 import numpy as np
@@ -18,7 +19,10 @@ from hypothesis import HealthCheck, given, settings, strategies as st
 
 from decompress_tpu import de, lzo, streaming
 
-FAST = settings(deadline=None, max_examples=60,
+#: DECOMPRESS_TPU_FUZZ_EXAMPLES scales the generative budgets for long
+#: soak runs (CI default 60; the round-5 soak ran 400-1500 per property)
+_N = int(os.environ.get("DECOMPRESS_TPU_FUZZ_EXAMPLES", "60"))
+FAST = settings(deadline=None, max_examples=_N,
                 suppress_health_check=[HealthCheck.too_slow])
 
 
@@ -139,7 +143,7 @@ def test_lzo_decoder_robust(data):
         pass
 
 
-@settings(deadline=None, max_examples=8,
+@settings(deadline=None, max_examples=max(8, _N // 8),
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.data_too_large])
 @given(st.binary(min_size=600, max_size=6000), st.sampled_from([4, 7, 10, 14]))
