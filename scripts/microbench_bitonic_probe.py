@@ -137,7 +137,10 @@ def main():
           f"{'PASS' if np.array_equal(got, want) else 'FAIL'}", flush=True)
 
     def fetch1(a):
-        return int(np.asarray(a)[0, 0, 0])
+        # fetch a single element's slice, NOT the whole array — a full
+        # [8,1024,128] fetch is ~4 MB over the ~20 MB/s tunnel (~200 ms)
+        # and would dominate both timings
+        return int(np.asarray(a[0, 0, 0:1])[0])
 
     for name, fn in [
         ("pallas bitonic", lambda: fetch1(call(xb))),
