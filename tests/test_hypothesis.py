@@ -168,3 +168,38 @@ def test_device_decode_any_window(data, nw):
         assert sharded_gzip_decompress(de._np_u8(arch)) == payload
     finally:
         iops.NW_DEFAULT = old
+
+
+def _corpus_pool():
+    import pathlib
+
+    corpus = pathlib.Path(__file__).parent / "corpus"
+    return b"".join(p.read_bytes() for p in sorted(corpus.iterdir()))
+
+
+_POOL = _corpus_pool()
+
+
+@settings(deadline=None, max_examples=max(15, _N // 4),
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.data_too_large])
+@given(st.integers(0, len(_POOL) - 20000), st.integers(500, 20000),
+       st.lists(st.tuples(st.integers(0, 19999), st.integers(0, 255)),
+                max_size=12),
+       st.sampled_from([1, 4, 6, 9]), st.sampled_from([9, 12, 15]))
+def test_matcher_corpus_mutation_fuzz(off, size, muts, level, wbits):
+    """Realistic match-heavy data through the FULL matcher (fingerprint
+    fast path + exact verify + trim-and-reparse): corpus slices with
+    random byte mutations, random level and restricted windows, must
+    round-trip through the C oracle.  st.binary's uniform bytes almost
+    never exercise the candidate/descent machinery; corpus text does
+    (the reference fuzzes the encoder with structured command lists,
+    fuzz/fuzz.ml:113-194 — this is the data-side analogue)."""
+    data = bytearray(_POOL[off:off + size])
+    for pos, val in muts:
+        if pos < len(data):
+            data[pos] = val
+    data = bytes(data)
+    c = de.deflate(data, level=level, window_bits=wbits)
+    d = zlib.decompressobj(-wbits)
+    assert d.decompress(c) + d.flush() == data
